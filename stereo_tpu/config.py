@@ -1,0 +1,189 @@
+"""Static pipeline configuration.
+
+The reference (Batshaw/Real-Time-Stereo-Matching-, an OpenCL C++ real-time
+stereo matcher — see SURVEY.md §0: the mount was empty, so behavior is
+reconstructed from BASELINE.json) configures its pipeline through CLI args and
+compile-time ``#define``s (window size, disparity range, P1/P2), requiring a
+rebuild per configuration (SURVEY.md §5 "Config / flag system").
+
+The TPU-native equivalent is a frozen, hashable dataclass that is **static
+under jit**: every field participates in the jit cache key, so each config
+compiles to its own specialized XLA program — the same effect as the
+reference's compile-time defines, without the manual rebuild.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """Full static configuration of the stereo pipeline.
+
+    Mirrors the reference capability surface (BASELINE.json:5): matching cost
+    (census or SAD), cost-volume construction over ``num_disparities``, SGM
+    path aggregation (0/4/8 paths), WTA selection, subpixel refinement,
+    left-right consistency check, and median post-filter.
+    """
+
+    # --- matching cost -----------------------------------------------------
+    cost_fn: str = "census"            # "census" (Hamming) | "sad"
+    census_window: Tuple[int, int] = (5, 5)   # (rows, cols); 5x5 -> 24-bit
+    sad_window: Tuple[int, int] = (9, 9)      # block-matching window
+
+    # --- cost volume -------------------------------------------------------
+    num_disparities: int = 64          # D in {16, 64, 128, 256}
+    min_disparity: int = 0
+
+    # --- SGM aggregation ---------------------------------------------------
+    num_paths: int = 8                 # 0 (plain WTA), 4 (HV), 8 (HV+diag)
+    p1: int = 10                       # small-change penalty
+    p2: int = 120                      # discontinuity penalty
+    adaptive_p2: bool = False          # P2 / |dI| scaling (Hirschmueller '08)
+    p2_min: int = 30                   # floor for adaptive P2
+
+    # --- selection / refinement -------------------------------------------
+    subpixel: bool = True              # parabola fit around the WTA winner
+    lr_check: bool = True              # left-right consistency
+    lr_tau: float = 1.0                # max |d_L - d_R| allowed
+    lr_exact: bool = False             # True: full 2nd pipeline pass for the
+    #                                    right view; False: re-index the
+    #                                    aggregated left volume (cheap)
+    uniqueness_ratio: float = 0.0      # 0 disables; else best/second-best gate
+
+    # --- post-filter -------------------------------------------------------
+    median_filter: bool = True         # 3x3 median on the disparity map
+    speckle_max_size: int = 0          # 0 disables speckle removal
+    speckle_tau: float = 2.0
+
+    # --- numerics ----------------------------------------------------------
+    cost_dtype: str = "int32"          # golden-path cost dtype
+    backend: str = "auto"              # "auto" | "jnp" | "pallas"
+
+    def __post_init__(self) -> None:
+        if self.cost_fn not in ("census", "sad"):
+            raise ValueError(f"cost_fn must be census|sad, got {self.cost_fn}")
+        if self.num_paths not in (0, 4, 8):
+            raise ValueError(f"num_paths must be 0|4|8, got {self.num_paths}")
+        if self.num_disparities < 1:
+            raise ValueError("num_disparities must be >= 1")
+        cw = self.census_window
+        if cw[0] % 2 == 0 or cw[1] % 2 == 0:
+            raise ValueError("census_window dims must be odd")
+        if cw[0] * cw[1] - 1 > 64:
+            raise ValueError("census descriptor limited to 64 bits")
+
+    # number of 32-bit words needed to hold the census descriptor
+    @property
+    def census_words(self) -> int:
+        bits = self.census_window[0] * self.census_window[1] - 1
+        return (bits + 31) // 32
+
+    @property
+    def max_unary_cost(self) -> int:
+        """Upper bound of the per-pixel matching cost (drives dtype choice)."""
+        if self.cost_fn == "census":
+            return self.census_window[0] * self.census_window[1] - 1
+        # SAD of uint8 over the window, normalized by window size in ops.cost
+        return 255
+
+    def replace(self, **kw) -> "StereoConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    """Static description of spatial tiling for the distributed pipeline.
+
+    ``mesh_shape = (ty, tx)`` tiles the image over mesh axes ('ty','tx');
+    ``halo`` is the overlap width used both for windowed ops (census/SAD
+    radius) and to warm up SGM scan carries at tile borders (SURVEY.md §2.2
+    P2/P5). ``halo=None`` derives it from the config.
+    """
+
+    mesh_shape: Tuple[int, int] = (1, 1)
+    halo: Optional[int] = None
+    batch_axis: bool = False           # add a leading 'batch' mesh axis (P1)
+
+    def resolved_halo(self, cfg: StereoConfig) -> int:
+        if self.halo is not None:
+            return self.halo
+        win = (
+            cfg.census_window if cfg.cost_fn == "census" else cfg.sad_window
+        )
+        radius = max(win[0] // 2, win[1] // 2)
+        # SGM carry warm-up strip: a border band lets path costs settle
+        # before entering the tile interior (bounded-error tiling; the exact
+        # cross-tile sequential variant lives in parallel/tiling.py).
+        warmup = 16
+        return radius + warmup
+
+
+# ---------------------------------------------------------------------------
+# Named presets matching BASELINE.json:6-12 exactly (SURVEY.md §5).
+# ---------------------------------------------------------------------------
+
+#: Config 1 — Middlebury Tsukuba pair, block SAD, 16 disparities, WTA.
+#: Designated "CPU-runnable reference" (BASELINE.json:7): the golden path.
+TSUKUBA_SAD16 = StereoConfig(
+    cost_fn="sad",
+    sad_window=(9, 9),
+    num_disparities=16,
+    num_paths=0,
+    subpixel=False,
+    lr_check=True,
+    median_filter=True,
+)
+
+#: Config 2 — Middlebury half-res (Teddy/Cones), census + 4-path SGM, 64 disp.
+MIDDLEBURY_CENSUS_SGM4_64 = StereoConfig(
+    cost_fn="census",
+    census_window=(5, 5),
+    num_disparities=64,
+    num_paths=4,
+    p1=10,
+    p2=120,
+    subpixel=True,
+    lr_check=True,
+)
+
+#: Config 3 — KITTI 2015 full-res, 8-path SGM, 128 disp + subpixel + LR-check.
+#: The headline speed config (BASELINE.json:2,9): >= 60 fps/chip target.
+KITTI_SGM8_128 = StereoConfig(
+    cost_fn="census",
+    census_window=(5, 5),
+    num_disparities=128,
+    num_paths=8,
+    p1=10,
+    p2=120,
+    subpixel=True,
+    lr_check=True,
+)
+
+#: Config 4 — Middlebury full-res 2880x1988, 256 disp, tiled with halo
+#: exchange (BASELINE.json:10). Pair with TileConfig(mesh_shape=(ty,tx)).
+MIDDLEBURY_FULL_256_TILED = StereoConfig(
+    cost_fn="census",
+    census_window=(5, 5),
+    num_disparities=256,
+    num_paths=8,
+    p1=10,
+    p2=120,
+    subpixel=True,
+    lr_check=True,
+)
+
+#: Config 5 — batched KITTI video stream, multi-host tile-parallel SGM
+#: (BASELINE.json:11). Same per-frame pipeline as config 3; parallelized via
+#: the 'batch' mesh axis + tiling in parallel/stream.py.
+KITTI_STREAM_MULTIHOST = KITTI_SGM8_128
+
+PRESETS = {
+    "tsukuba_sad16": TSUKUBA_SAD16,
+    "middlebury_census_sgm4_64": MIDDLEBURY_CENSUS_SGM4_64,
+    "kitti_sgm8_128": KITTI_SGM8_128,
+    "middlebury_full_256_tiled": MIDDLEBURY_FULL_256_TILED,
+    "kitti_stream_multihost": KITTI_STREAM_MULTIHOST,
+}

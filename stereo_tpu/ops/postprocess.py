@@ -1,0 +1,91 @@
+"""Disparity post-processing: LR consistency, median filter, invalid fill.
+
+Reference behavior (SURVEY.md §2.1 C9-C11): compute a right-view disparity
+map, invalidate pixels where |d_L(x) - d_R(x - d_L(x))| > tau, then a 3x3
+median filter; invalid pixels are marked (KITTI convention: 0 / mask).
+
+TPU-native design: the right-view map comes from re-indexing the already
+aggregated left volume, S_R(y, x, d) = S_L(y, x + d, d) — one gather instead
+of a second full pipeline pass (cfg.lr_exact=True runs the exact second pass
+in pipeline.py). The median is a 9-element sorting network on shifted maps,
+fully vectorized on the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..config import StereoConfig
+from .wta import wta_disparity
+
+
+def right_disparity_from_volume(
+    s: jnp.ndarray, cfg: StereoConfig
+) -> jnp.ndarray:
+    """Right-view WTA disparity by re-indexing the left aggregated volume.
+
+    S_R(y, x_r, d) = S_L(y, x_r + d, d); out-of-frame samples get a cost
+    above any achievable aggregate so they never win.
+
+    Returns: [H, W] float32 right-view disparity (integer-valued).
+    """
+    h, w, d = s.shape
+    xs = jnp.arange(w)[None, :, None]
+    ds = jnp.arange(d)[None, None, :]
+    src = xs + ds                                    # [1, W, D]
+    invalid = src >= w
+    src_c = jnp.clip(src, 0, w - 1)
+    s_r = jnp.take_along_axis(s, jnp.broadcast_to(src_c, (h, w, d)), axis=1)
+    big = jnp.iinfo(s.dtype).max // 2
+    s_r = jnp.where(invalid, big, s_r)
+    sub_cfg = cfg.replace(subpixel=False, uniqueness_ratio=0.0)
+    disp_r, _ = wta_disparity(s_r, sub_cfg)
+    return disp_r
+
+
+def lr_consistency(
+    disp_l: jnp.ndarray, disp_r: jnp.ndarray, cfg: StereoConfig
+) -> jnp.ndarray:
+    """Left-right consistency mask.
+
+    A left pixel survives iff |d_L(x) - d_R(x - round(d_L(x)))| <= tau and
+    its right-image correspondence is in frame.
+
+    Returns: [H, W] bool validity.
+    """
+    h, w = disp_l.shape
+    xs = jnp.arange(w)[None, :]
+    xr = jnp.round(xs - disp_l).astype(jnp.int32)
+    in_frame = (xr >= 0) & (xr < w)
+    xr_c = jnp.clip(xr, 0, w - 1)
+    d_r_at = jnp.take_along_axis(disp_r, xr_c, axis=1)
+    ok = jnp.abs(disp_l - d_r_at) <= cfg.lr_tau
+    return ok & in_frame
+
+
+def median_3x3(disp: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median filter via a sort over the 9 shifted maps (edge-padded)."""
+    p = jnp.pad(disp, ((1, 1), (1, 1)), mode="edge")
+    h, w = disp.shape
+    stack = jnp.stack(
+        [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )
+    return jnp.sort(stack, axis=-1)[..., 4]
+
+
+def apply_postprocess(
+    disp: jnp.ndarray,
+    valid: jnp.ndarray,
+    s: jnp.ndarray,
+    cfg: StereoConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """LR-check + median, per config. Returns (disp, valid)."""
+    if cfg.lr_check and not cfg.lr_exact:
+        disp_r = right_disparity_from_volume(s, cfg)
+        valid = valid & lr_consistency(disp, disp_r, cfg)
+    if cfg.median_filter:
+        disp = median_3x3(disp)
+    return disp, valid

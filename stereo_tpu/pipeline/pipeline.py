@@ -1,0 +1,99 @@
+"""End-to-end stereo pipeline: config -> jitted pure function.
+
+Reference call stack (SURVEY.md §3.1): the OpenCL host enqueues one kernel
+per stage (census -> cost volume -> per-path SGM scans -> WTA -> subpixel ->
+LR-check -> median), crossing the host/device boundary per enqueue.
+
+TPU-native design: the whole pipeline is ONE pure function traced once under
+``jax.jit`` with the config static — XLA sees the full dataflow, fuses
+stages, and the only host<->device crossing is the final
+``jax.device_get`` (SURVEY.md §3.1 "single boundary crossing").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import StereoConfig
+from ..ops import (
+    apply_postprocess,
+    cost_volume,
+    lr_consistency,
+    sgm_aggregate,
+    wta_disparity,
+)
+
+
+class StereoResult(NamedTuple):
+    """Pipeline output pytree.
+
+    disp: [H, W] float32 disparity in left-view coordinates.
+    valid: [H, W] bool — False where LR-check / uniqueness rejected the
+      match or no in-frame correspondence exists (KITTI convention maps
+      invalid to 0 at export time, see eval/).
+    """
+
+    disp: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def _aggregate(left, right, cfg: StereoConfig, valid=None):
+    """Cost volume + SGM for one reference view. Returns [H, W, D] int32."""
+    vol = cost_volume(left, right, cfg)
+    return sgm_aggregate(vol, cfg, image=left, valid=valid)
+
+
+def compute_disparity(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoConfig,
+    valid: Optional[jnp.ndarray] = None,
+) -> StereoResult:
+    """Full pipeline on a rectified pair.
+
+    Args:
+      left, right: [H, W] uint8 (or float) rectified grayscale images.
+      cfg: static StereoConfig.
+      valid: optional [H, W] bool pixel-validity mask (tiled runs pass halo
+        masks so SGM carries reset at true image borders, not tile borders).
+
+    Returns: StereoResult(disp [H, W] f32, valid [H, W] bool).
+    """
+    if left.ndim != 2 or left.shape != right.shape:
+        raise ValueError(
+            "expected matching [H, W] rectified images, got "
+            f"left {left.shape} vs right {right.shape}"
+        )
+    s = _aggregate(left, right, cfg, valid=valid)
+    disp, ok = wta_disparity(s, cfg)
+
+    if cfg.lr_check and cfg.lr_exact:
+        # Exact right-view pass: match with the right image as reference by
+        # flipping both images horizontally and swapping roles, then flip
+        # the result back — identical to a dedicated right-reference matcher.
+        s_r = _aggregate(right[:, ::-1], left[:, ::-1], cfg)
+        disp_r, _ = wta_disparity(s_r, cfg)
+        disp_r = disp_r[:, ::-1]
+        ok = ok & lr_consistency(disp, disp_r, cfg)
+        cfg_post = cfg.replace(lr_check=False)
+        disp, ok2 = apply_postprocess(disp, ok, s, cfg_post)
+        ok = ok & ok2
+    else:
+        disp, ok = apply_postprocess(disp, ok, s, cfg)
+
+    return StereoResult(disp=disp, valid=ok)
+
+
+def build_pipeline(cfg: StereoConfig, donate: bool = False):
+    """Return a jitted ``(left, right) -> StereoResult`` for a fixed config.
+
+    Config fields are baked in as static values (the TPU analog of the
+    reference's compile-time #defines, SURVEY.md §5).
+    """
+    fn = functools.partial(compute_disparity, cfg=cfg)
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(fn, donate_argnums=donate_argnums)
