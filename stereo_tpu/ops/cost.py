@@ -45,9 +45,14 @@ def _shifted_stack(x: jnp.ndarray, num_disparities: int) -> jnp.ndarray:
     return stacked
 
 
-def _invalid_mask(h: int, w: int, num_disparities: int) -> jnp.ndarray:
-    """[H, W, D] bool, True where x - d < 0 (no right-image sample)."""
-    xs = jnp.arange(w)[None, :, None]
+def _invalid_mask(h: int, w: int, num_disparities: int, x_offset=0) -> jnp.ndarray:
+    """[H, W, D] bool, True where global x - d < 0 (no right-image sample).
+
+    ``x_offset`` is this block's global x origin — 0 for whole images; tiled
+    runs (parallel/tiling.py) pass the tile origin (possibly a traced scalar)
+    so border invalidation matches the untiled pipeline bit-exactly.
+    """
+    xs = x_offset + jnp.arange(w)[None, :, None]
     ds = jnp.arange(num_disparities)[None, None, :]
     return jnp.broadcast_to(xs < ds, (h, w, num_disparities))
 
@@ -75,7 +80,7 @@ def box_sum(img: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
 
 
 def sad_cost_volume(
-    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0
 ) -> jnp.ndarray:
     """SAD block-matching cost volume.
 
@@ -93,12 +98,12 @@ def sad_cost_volume(
     ad = jnp.abs(l32[:, :, None] - r_stack)                # [H, W, D]
     area = cfg.sad_window[0] * cfg.sad_window[1]
     summed = box_sum(ad, cfg.sad_window) // area           # [H, W, D]
-    invalid = _invalid_mask(h, w, d)
+    invalid = _invalid_mask(h, w, d, x_offset)
     return jnp.where(invalid, jnp.int32(cfg.max_unary_cost), summed)
 
 
 def census_cost_volume(
-    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0
 ) -> jnp.ndarray:
     """Census-Hamming cost volume (SURVEY.md C2+C4+C5 fused at trace level).
 
@@ -110,14 +115,14 @@ def census_cost_volume(
     cr = census_transform(right, cfg.census_window)
     cr_stack = _shifted_stack(cr, d)                       # [H, W, D, words]
     cost = hamming_distance(cl[:, :, None, :], cr_stack)   # [H, W, D]
-    invalid = _invalid_mask(h, w, d)
+    invalid = _invalid_mask(h, w, d, x_offset)
     return jnp.where(invalid, jnp.int32(cfg.max_unary_cost), cost)
 
 
 def cost_volume(
-    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0
 ) -> jnp.ndarray:
     """Dispatch on cfg.cost_fn. Returns [H, W, D] int32."""
     if cfg.cost_fn == "census":
-        return census_cost_volume(left, right, cfg)
-    return sad_cost_volume(left, right, cfg)
+        return census_cost_volume(left, right, cfg, x_offset)
+    return sad_cost_volume(left, right, cfg, x_offset)

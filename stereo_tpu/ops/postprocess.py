@@ -22,20 +22,22 @@ from .wta import wta_disparity
 
 
 def right_disparity_from_volume(
-    s: jnp.ndarray, cfg: StereoConfig
+    s: jnp.ndarray, cfg: StereoConfig, x_offset=0, image_width=None
 ) -> jnp.ndarray:
     """Right-view WTA disparity by re-indexing the left aggregated volume.
 
     S_R(y, x_r, d) = S_L(y, x_r + d, d); out-of-frame samples get a cost
-    above any achievable aggregate so they never win.
-
-    Returns: [H, W] float32 right-view disparity (integer-valued).
+    above any achievable aggregate so they never win. ``x_offset`` /
+    ``image_width`` describe where this block sits in the global image
+    (tiled runs); defaults treat the block as the whole image.
     """
     h, w, d = s.shape
+    if image_width is None:
+        image_width = w
     xs = jnp.arange(w)[None, :, None]
     ds = jnp.arange(d)[None, None, :]
     src = xs + ds                                    # [1, W, D]
-    invalid = src >= w
+    invalid = (x_offset + src) >= image_width
     src_c = jnp.clip(src, 0, w - 1)
     s_r = jnp.take_along_axis(s, jnp.broadcast_to(src_c, (h, w, d)), axis=1)
     big = jnp.iinfo(s.dtype).max // 2
@@ -46,19 +48,24 @@ def right_disparity_from_volume(
 
 
 def lr_consistency(
-    disp_l: jnp.ndarray, disp_r: jnp.ndarray, cfg: StereoConfig
+    disp_l: jnp.ndarray, disp_r: jnp.ndarray, cfg: StereoConfig, x_offset=0,
+    image_width=None,
 ) -> jnp.ndarray:
     """Left-right consistency mask.
 
     A left pixel survives iff |d_L(x) - d_R(x - round(d_L(x)))| <= tau and
-    its right-image correspondence is in frame.
+    its right-image correspondence is in frame (globally, when the block is
+    a tile of a larger image).
 
     Returns: [H, W] bool validity.
     """
     h, w = disp_l.shape
+    if image_width is None:
+        image_width = w
     xs = jnp.arange(w)[None, :]
     xr = jnp.round(xs - disp_l).astype(jnp.int32)
-    in_frame = (xr >= 0) & (xr < w)
+    xr_global = x_offset + xr
+    in_frame = (xr_global >= 0) & (xr_global < image_width)
     xr_c = jnp.clip(xr, 0, w - 1)
     d_r_at = jnp.take_along_axis(disp_r, xr_c, axis=1)
     ok = jnp.abs(disp_l - d_r_at) <= cfg.lr_tau
@@ -81,11 +88,13 @@ def apply_postprocess(
     valid: jnp.ndarray,
     s: jnp.ndarray,
     cfg: StereoConfig,
+    x_offset=0,
+    image_width=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LR-check + median, per config. Returns (disp, valid)."""
     if cfg.lr_check and not cfg.lr_exact:
-        disp_r = right_disparity_from_volume(s, cfg)
-        valid = valid & lr_consistency(disp, disp_r, cfg)
+        disp_r = right_disparity_from_volume(s, cfg, x_offset, image_width)
+        valid = valid & lr_consistency(disp, disp_r, cfg, x_offset, image_width)
     if cfg.median_filter:
         disp = median_3x3(disp)
     return disp, valid

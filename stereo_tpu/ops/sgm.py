@@ -152,26 +152,12 @@ def _unshear(x: jnp.ndarray, sign: int, w: int) -> jnp.ndarray:
     )
 
 
-def _diagonal(cost, valid, img, cfg, sign: int, reverse: bool) -> jnp.ndarray:
-    """Diagonal path via shear + vertical scan + unshear.
-
-    sign=+1, reverse=False: down-right; reverse=True: up-left.
-    sign=-1, reverse=False: down-left;  reverse=True: up-right.
-    """
-    w = cost.shape[1]
-    c_sh, v_geom = _shear(cost, sign)
-    v_sh, _ = _shear(valid, sign)
-    v_sh = v_sh & v_geom
-    im_sh = _shear(img, sign)[0] if img is not None else None
-    out = _vertical(c_sh, v_sh, im_sh, cfg, reverse)
-    return _unshear(out, sign, w)
-
-
 def sgm_aggregate(
     cost: jnp.ndarray,
     cfg: StereoConfig,
     image: Optional[jnp.ndarray] = None,
     valid: Optional[jnp.ndarray] = None,
+    constrain=None,
 ) -> jnp.ndarray:
     """Sum of SGM path costs S(p, d) = sum_r L_r(p, d).
 
@@ -181,6 +167,12 @@ def sgm_aggregate(
       image: [H, W] intensities for adaptive P2 (optional).
       valid: [H, W] bool mask of real pixels (tiled runs pass halo masks);
         None means all valid.
+      constrain: optional (rows_local_fn, cols_local_fn) pair of pytree ->
+        pytree sharding annotators (parallel/exact.py). rows_local_fn is
+        applied to the inputs of row-scan passes (shards H so each full row
+        is device-local), cols_local_fn to column-scan and sheared-diagonal
+        inputs (shards the scan-parallel axis). XLA inserts the all_to_all
+        reshard between pass families — the Ulysses analog (SURVEY.md P6).
 
     Returns:
       [H, W, D] int32 summed volume. num_paths=0 returns cost unchanged.
@@ -194,13 +186,23 @@ def sgm_aggregate(
     if not cfg.adaptive_p2:
         img = None
 
-    s = _horizontal(cost, valid, img, cfg, reverse=False)
-    s = s + _horizontal(cost, valid, img, cfg, reverse=True)
-    s = s + _vertical(cost, valid, img, cfg, reverse=False)
-    s = s + _vertical(cost, valid, img, cfg, reverse=True)
+    rows_local = constrain[0] if constrain else (lambda t: t)
+    cols_local = constrain[1] if constrain else (lambda t: t)
+
+    c_r, v_r, i_r = rows_local((cost, valid, img))
+    s = _horizontal(c_r, v_r, i_r, cfg, reverse=False)
+    s = s + _horizontal(c_r, v_r, i_r, cfg, reverse=True)
+
+    c_c, v_c, i_c = cols_local((cost, valid, img))
+    s_v = _vertical(c_c, v_c, i_c, cfg, reverse=False)
+    s_v = s_v + _vertical(c_c, v_c, i_c, cfg, reverse=True)
     if cfg.num_paths == 8:
-        s = s + _diagonal(cost, valid, img, cfg, sign=+1, reverse=False)
-        s = s + _diagonal(cost, valid, img, cfg, sign=+1, reverse=True)
-        s = s + _diagonal(cost, valid, img, cfg, sign=-1, reverse=False)
-        s = s + _diagonal(cost, valid, img, cfg, sign=-1, reverse=True)
-    return s
+        for sign in (+1, -1):
+            c_sh, v_geom = _shear(c_c, sign)
+            v_sh = _shear(v_c, sign)[0] & v_geom
+            i_sh = _shear(i_c, sign)[0] if i_c is not None else None
+            c_sh, v_sh, i_sh = cols_local((c_sh, v_sh, i_sh))
+            d_out = _vertical(c_sh, v_sh, i_sh, cfg, reverse=False)
+            d_out = d_out + _vertical(c_sh, v_sh, i_sh, cfg, reverse=True)
+            s_v = s_v + _unshear(d_out, sign, w)
+    return s + s_v

@@ -1,0 +1,194 @@
+"""Halo-exchange tile parallelism via shard_map (SURVEY.md §2.2 P2 + P5).
+
+The signature distributed component: the H x W image is sharded over mesh
+axes ('ty', 'tx'); each device matches its tile extended by a halo strip
+fetched from its neighbors with `jax.lax.ppermute` (the ring/neighbor
+topology of ring attention applied to stereo tiles, P5). The halo serves
+three roles:
+
+  * window support for census/SAD (radius pixels);
+  * SGM carry warm-up: path costs enter the tile interior already settled,
+    bounding the error of not propagating carries across tiles exactly
+    (the trade SURVEY.md §7 hard-part 3 says to measure — benchmarks compare
+    against the bit-exact reshard mode in parallel/exact.py);
+  * disparity-search support: the cost at column x references right-image
+    samples at x - d, so the x-halo on the low side is widened by D (and on
+    the high side too when the cheap LR-check re-index is active, which
+    gathers S at x + d).
+
+Out-of-image regions of a tile (padding or beyond the frame) are marked
+invalid so SGM carries reset at TRUE image borders only. Per-tile disparity
+maps reassemble through the output sharding: requesting replicated outputs
+makes XLA emit the all_gather of BASELINE.json:5.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import StereoConfig, TileConfig
+from ..ops import median_3x3
+from ..pipeline.pipeline import StereoResult, compute_disparity
+
+try:  # jax >= 0.7 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _halo_exchange(
+    x: jnp.ndarray, axis: int, axis_name: str, lo: int, hi: int
+) -> jnp.ndarray:
+    """Extend a per-device block with `lo`/`hi` rows of neighbor data.
+
+    Halos wider than one block fetch strips from k-hop neighbors with one
+    ppermute per hop. Strips with no source (frame boundary, or hops past
+    the mesh edge) arrive zero-filled; the caller's validity mask marks
+    them out-of-image and remaps them to edge replicas.
+    """
+    n = lax.axis_size(axis_name)
+    block = x.shape[axis]
+
+    def strips(total: int, from_prev: bool):
+        """Halo strips ordered outward-in for lo, inward-out for hi."""
+        out = []
+        k = 1
+        remaining = total
+        while remaining > 0:
+            size = min(block, remaining)
+            if from_prev:
+                # k-hop previous neighbor's trailing `size` rows.
+                edge = lax.slice_in_dim(x, block - size, block, axis=axis)
+                perm = [(i, i + k) for i in range(n - k)] if k < n else []
+            else:
+                edge = lax.slice_in_dim(x, 0, size, axis=axis)
+                perm = [(i + k, i) for i in range(n - k)] if k < n else []
+            out.append(lax.ppermute(edge, axis_name, perm) if perm else jnp.zeros_like(edge))
+            remaining -= size
+            k += 1
+        return out
+
+    parts = []
+    if lo > 0:
+        parts.extend(reversed(strips(lo, from_prev=True)))
+    parts.append(x)
+    if hi > 0:
+        parts.extend(strips(hi, from_prev=False))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else x
+
+
+def _halo_widths(cfg: StereoConfig, tile_cfg: TileConfig) -> Tuple[int, int, int]:
+    """(halo_y, halo_x_lo, halo_x_hi) in pixels."""
+    halo = tile_cfg.resolved_halo(cfg)
+    d = cfg.num_disparities
+    x_lo = halo + d                       # cost needs right(x - d)
+    x_hi = halo + (d if (cfg.lr_check and not cfg.lr_exact) else 0)
+    return halo, x_lo, x_hi
+
+
+def padded_extent(size: int, tiles: int) -> int:
+    """Smallest multiple of `tiles` >= size."""
+    return -(-size // tiles) * tiles
+
+
+def build_halo_pipeline(
+    cfg: StereoConfig,
+    mesh: Mesh,
+    tile_cfg: Optional[TileConfig] = None,
+    donate: bool = False,
+):
+    """Jitted tiled ``(left, right) -> StereoResult`` over mesh ('ty','tx').
+
+    Accepts any [H, W]; images are padded on-device to tile multiples and
+    the padding is masked invalid and cropped from the output.
+    """
+    tile_cfg = tile_cfg or TileConfig(
+        mesh_shape=(mesh.shape["ty"], mesh.shape["tx"])
+    )
+    ty, tx = mesh.shape["ty"], mesh.shape["tx"]
+    halo_y, halo_x_lo, halo_x_hi = _halo_widths(cfg, tile_cfg)
+
+    def tiled(left, right):
+        h, w = left.shape
+        hp, wp = padded_extent(h, ty), padded_extent(w, tx)
+        bh, bw = hp // ty, wp // tx
+        left_p = jnp.pad(left, ((0, hp - h), (0, wp - w)))
+        right_p = jnp.pad(right, ((0, hp - h), (0, wp - w)))
+
+        def tile_fn(l_blk, r_blk):
+            # shard_map passes [bh, bw] blocks; build the halo-extended
+            # working tile and its global-coordinate validity mask.
+            iy = lax.axis_index("ty")
+            ix = lax.axis_index("tx")
+
+            y0 = iy * bh - halo_y
+            x0 = ix * bw - halo_x_lo
+            ys = y0 + jnp.arange(bh + 2 * halo_y)[:, None]
+            xs = x0 + jnp.arange(bw + halo_x_lo + halo_x_hi)[None, :]
+            valid = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+
+            # Out-of-image halo positions (zero-filled by ppermute at frame
+            # edges) are remapped to the nearest in-image pixel so window
+            # ops see the same edge-replicated borders as the untiled
+            # pipeline. The clamped coordinate always lies inside this
+            # tile's extended block (edge tiles own the frame border).
+            ys_l = jnp.clip(ys, 0, h - 1) - y0
+            xs_l = jnp.clip(xs, 0, w - 1) - x0
+
+            def extend(img):
+                e = _halo_exchange(img, 0, "ty", halo_y, halo_y)
+                e = _halo_exchange(e, 1, "tx", halo_x_lo, halo_x_hi)
+                return e[ys_l, xs_l]
+
+            l_ext = extend(l_blk)
+            r_ext = extend(r_blk)
+
+            # The median runs AFTER cropping, on a 1-px halo of final
+            # disparity values: running it inside the extended tile would
+            # mix disparities computed at out-of-image replica pixels,
+            # whereas the untiled pipeline replicates the edge *disparity*.
+            cfg_tile = cfg.replace(median_filter=False)
+            res = compute_disparity(
+                l_ext, r_ext, cfg_tile, valid=valid, x_offset=x0, image_width=w
+            )
+            crop = (
+                slice(halo_y, halo_y + bh),
+                slice(halo_x_lo, halo_x_lo + bw),
+            )
+            disp_c = res.disp[crop]
+            valid_c = res.valid[crop] & valid[crop]
+
+            if cfg.median_filter:
+                e = _halo_exchange(disp_c, 0, "ty", 1, 1)
+                e = _halo_exchange(e, 1, "tx", 1, 1)
+                ys1 = iy * bh - 1 + jnp.arange(bh + 2)[:, None]
+                xs1 = ix * bw - 1 + jnp.arange(bw + 2)[None, :]
+                e = e[
+                    jnp.clip(ys1, 0, h - 1) - (iy * bh - 1),
+                    jnp.clip(xs1, 0, w - 1) - (ix * bw - 1),
+                ]
+                disp_c = median_3x3(e)[1:-1, 1:-1]
+
+            return StereoResult(disp=disp_c, valid=valid_c)
+
+        res = shard_map(
+            tile_fn,
+            mesh=mesh,
+            in_specs=(P("ty", "tx"), P("ty", "tx")),
+            out_specs=StereoResult(disp=P("ty", "tx"), valid=P("ty", "tx")),
+        )(left_p, right_p)
+        return StereoResult(disp=res.disp[:h, :w], valid=res.valid[:h, :w])
+
+    out_sharding = StereoResult(
+        disp=NamedSharding(mesh, P()), valid=NamedSharding(mesh, P())
+    )
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(
+        tiled, out_shardings=out_sharding, donate_argnums=donate_argnums
+    )

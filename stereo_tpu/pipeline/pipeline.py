@@ -41,10 +41,12 @@ class StereoResult(NamedTuple):
     valid: jnp.ndarray
 
 
-def _aggregate(left, right, cfg: StereoConfig, valid=None):
+def _aggregate(
+    left, right, cfg: StereoConfig, valid=None, constrain=None, x_offset=0
+):
     """Cost volume + SGM for one reference view. Returns [H, W, D] int32."""
-    vol = cost_volume(left, right, cfg)
-    return sgm_aggregate(vol, cfg, image=left, valid=valid)
+    vol = cost_volume(left, right, cfg, x_offset=x_offset)
+    return sgm_aggregate(vol, cfg, image=left, valid=valid, constrain=constrain)
 
 
 def compute_disparity(
@@ -52,6 +54,9 @@ def compute_disparity(
     right: jnp.ndarray,
     cfg: StereoConfig,
     valid: Optional[jnp.ndarray] = None,
+    constrain=None,
+    x_offset=0,
+    image_width: Optional[int] = None,
 ) -> StereoResult:
     """Full pipeline on a rectified pair.
 
@@ -60,6 +65,10 @@ def compute_disparity(
       cfg: static StereoConfig.
       valid: optional [H, W] bool pixel-validity mask (tiled runs pass halo
         masks so SGM carries reset at true image borders, not tile borders).
+      x_offset / image_width: global x origin of this block and full image
+        width — identity frame by default; tiled runs pass tile coordinates
+        so disparity-range masking and LR framing match the untiled
+        pipeline bit-exactly.
 
     Returns: StereoResult(disp [H, W] f32, valid [H, W] bool).
     """
@@ -68,22 +77,24 @@ def compute_disparity(
             "expected matching [H, W] rectified images, got "
             f"left {left.shape} vs right {right.shape}"
         )
-    s = _aggregate(left, right, cfg, valid=valid)
+    s = _aggregate(
+        left, right, cfg, valid=valid, constrain=constrain, x_offset=x_offset
+    )
     disp, ok = wta_disparity(s, cfg)
 
     if cfg.lr_check and cfg.lr_exact:
         # Exact right-view pass: match with the right image as reference by
         # flipping both images horizontally and swapping roles, then flip
         # the result back — identical to a dedicated right-reference matcher.
-        s_r = _aggregate(right[:, ::-1], left[:, ::-1], cfg)
+        s_r = _aggregate(right[:, ::-1], left[:, ::-1], cfg, constrain=constrain)
         disp_r, _ = wta_disparity(s_r, cfg)
         disp_r = disp_r[:, ::-1]
-        ok = ok & lr_consistency(disp, disp_r, cfg)
+        ok = ok & lr_consistency(disp, disp_r, cfg, x_offset, image_width)
         cfg_post = cfg.replace(lr_check=False)
         disp, ok2 = apply_postprocess(disp, ok, s, cfg_post)
         ok = ok & ok2
     else:
-        disp, ok = apply_postprocess(disp, ok, s, cfg)
+        disp, ok = apply_postprocess(disp, ok, s, cfg, x_offset, image_width)
 
     return StereoResult(disp=disp, valid=ok)
 

@@ -1,0 +1,110 @@
+"""Distributed-pipeline tests on the 8-fake-CPU-device mesh (SURVEY.md §4.3).
+
+The exact (reshard) mode must be bit-identical to the single-device golden
+pipeline; the halo mode must be bit-identical wherever its exactness
+guarantees hold (WTA-only pipelines; halos covering the image) and close on
+general scenes.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from stereo_tpu import StereoConfig, TileConfig, compute_disparity
+from stereo_tpu.data import make_pair
+from stereo_tpu.parallel import (
+    build_exact_pipeline,
+    build_halo_pipeline,
+    make_tile_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    assert jax.device_count() >= 8, "tests need 8 fake CPU devices"
+    return make_tile_mesh(jax.devices()[:8], mesh_shape=(4, 2))
+
+
+def _golden(pair, cfg):
+    res = compute_disparity(pair.left, pair.right, cfg)
+    return np.array(res.disp), np.array(res.valid)
+
+
+def test_exact_mode_bit_identical(mesh42):
+    pair = make_pair((64, 96), max_disp=10, kind="shapes", seed=0)
+    cfg = StereoConfig(num_disparities=16, num_paths=8, subpixel=True)
+    fn = build_exact_pipeline(cfg, mesh42)
+    disp, valid = fn(pair.left, pair.right)
+    g_disp, g_valid = _golden(pair, cfg)
+    np.testing.assert_array_equal(np.array(disp), g_disp)
+    np.testing.assert_array_equal(np.array(valid), g_valid)
+
+
+def test_exact_mode_4path_no_subpixel(mesh42):
+    pair = make_pair((48, 64), max_disp=8, kind="slant", seed=1)
+    cfg = StereoConfig(
+        num_disparities=8, num_paths=4, subpixel=False, median_filter=False
+    )
+    fn = build_exact_pipeline(cfg, mesh42)
+    disp, valid = fn(pair.left, pair.right)
+    g_disp, g_valid = _golden(pair, cfg)
+    np.testing.assert_array_equal(np.array(disp), g_disp)
+    np.testing.assert_array_equal(np.array(valid), g_valid)
+
+
+def test_halo_mode_wta_bit_identical(mesh42):
+    """num_paths=0: every stage is local given the halo -> bit-identical."""
+    pair = make_pair((64, 96), max_disp=10, kind="shapes", seed=2)
+    cfg = StereoConfig(
+        cost_fn="census", num_disparities=16, num_paths=0, subpixel=True
+    )
+    fn = build_halo_pipeline(cfg, mesh42)
+    disp, valid = fn(pair.left, pair.right)
+    g_disp, g_valid = _golden(pair, cfg)
+    np.testing.assert_array_equal(np.array(disp), g_disp)
+    np.testing.assert_array_equal(np.array(valid), g_valid)
+
+
+def test_halo_mode_full_coverage_bit_identical(mesh42):
+    """A halo covering the whole image makes even SGM exact — validates the
+    halo/carry machinery independently of the warm-up approximation."""
+    pair = make_pair((32, 48), max_disp=6, kind="shapes", seed=3)
+    cfg = StereoConfig(num_disparities=8, num_paths=8, subpixel=True)
+    tile_cfg = TileConfig(mesh_shape=(4, 2), halo=64)
+    fn = build_halo_pipeline(cfg, mesh42, tile_cfg)
+    disp, valid = fn(pair.left, pair.right)
+    g_disp, g_valid = _golden(pair, cfg)
+    np.testing.assert_array_equal(np.array(disp), g_disp)
+    np.testing.assert_array_equal(np.array(valid), g_valid)
+
+
+def test_halo_mode_sgm_close_on_scene(mesh42):
+    """Default warm-up halo: bounded-error vs golden (SURVEY.md §7 part 3)."""
+    pair = make_pair((96, 128), max_disp=12, kind="shapes", seed=4)
+    cfg = StereoConfig(num_disparities=16, num_paths=4, subpixel=False)
+    fn = build_halo_pipeline(cfg, mesh42)
+    disp, valid = fn(pair.left, pair.right)
+    disp, valid = np.array(disp), np.array(valid)
+    g_disp, g_valid = _golden(pair, cfg)
+    both = valid & g_valid
+    mismatch = (np.abs(disp - g_disp) > 1)[both].mean()
+    assert mismatch < 0.01, f"halo-mode disparity mismatch {mismatch:.4f}"
+
+
+def test_halo_mode_nondivisible_extent(mesh42):
+    """Image extents that don't divide the mesh get padded and cropped."""
+    pair = make_pair((50, 70), max_disp=6, kind="constant", seed=5)
+    cfg = StereoConfig(
+        num_disparities=8, num_paths=0, subpixel=False, median_filter=False
+    )
+    fn = build_halo_pipeline(cfg, mesh42)
+    disp, valid = fn(pair.left, pair.right)
+    g_disp, g_valid = _golden(pair, cfg)
+    assert disp.shape == (50, 70)
+    np.testing.assert_array_equal(np.array(disp), g_disp)
+    np.testing.assert_array_equal(np.array(valid), g_valid)
+
+
+def test_batch_axis_mesh():
+    mesh = make_tile_mesh(jax.devices()[:8], mesh_shape=(2, 2), batch=2)
+    assert mesh.shape == {"batch": 2, "ty": 2, "tx": 2}
