@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line on stdout (driver contract).
+
+Headline metric (BASELINE.json:2,5): frames/sec/chip at KITTI-resolution
+(375 x 1242) 128-disparity 8-path SGM with subpixel + LR-check.
+vs_baseline is fps / 60 — the driver-set >=60 fps/chip target (the
+reference publishes no numbers of its own, BASELINE.json:13).
+
+Detailed per-stage and per-config results are appended to
+bench_results/results.jsonl; stdout carries only the single JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+TARGET_FPS = 60.0
+
+
+def _git_sha() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".",
+            ).stdout.strip()
+        )
+    except Exception:
+        return "unknown"
+
+
+def time_fn(fn, args, warmup=2, iters=10, min_time=2.0):
+    """Median wall-clock seconds per call (device-synchronized)."""
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    total = 0.0
+    i = 0
+    while i < iters or total < min_time:
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        total += dt
+        i += 1
+        if i > 200:
+            break
+    return float(np.median(times)), times
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes on CPU (smoke test)")
+    ap.add_argument("--preset", default="kitti_sgm8_128")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--all", action="store_true",
+                    help="also bench secondary configs to results.jsonl")
+    args = ap.parse_args()
+
+    if args.quick:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+
+    import jax
+
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+
+    from stereo_tpu import PRESETS, build_pipeline
+    from stereo_tpu.data import make_pair
+    from stereo_tpu.eval import evaluate_disparity
+
+    cfg = PRESETS[args.preset]
+    if args.quick:
+        shape, max_disp = (96, 160), 12
+        cfg = cfg.replace(num_disparities=16)
+    else:
+        shape, max_disp = (375, 1242), 96  # KITTI 2015 resolution
+
+    pair = make_pair(shape, max_disp=max_disp, kind="shapes",
+                     texture="cloud", seed=0)
+    fn = build_pipeline(cfg)
+
+    sec, times = time_fn(fn, (pair.left, pair.right), iters=args.iters)
+    fps = 1.0 / sec
+
+    res = fn(pair.left, pair.right)
+    quality = evaluate_disparity(
+        np.asarray(res.disp), pair.gt_disp, pair.gt_valid,
+        np.asarray(res.valid),
+    )
+
+    device = str(jax.devices()[0])
+    record = {
+        "metric": f"{args.preset}_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / TARGET_FPS, 4),
+        "config": args.preset,
+        "shape": list(shape),
+        "num_disparities": cfg.num_disparities,
+        "num_paths": cfg.num_paths,
+        "sec_per_frame": round(sec, 6),
+        "bad3": round(quality["bad3"], 5),
+        "epe": round(quality["epe"], 5),
+        "density": round(quality["density"], 5),
+        "device": device,
+        "backend": jax.default_backend(),
+        "git_sha": _git_sha(),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "n_timed": len(times),
+    }
+
+    out_dir = os.path.join(os.path.dirname(__file__) or ".", "bench_results")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+    # Driver contract: exactly one JSON line on stdout.
+    print(json.dumps({
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "fps",
+        "vs_baseline": record["vs_baseline"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -142,7 +142,7 @@ def make_pair(
             + base[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
             + base[np.ix_(y0 + 1, x0 + 1)] * fy * fx
         )
-        up = (up - up.min()) / (up.ptp() + 1e-9)
+        up = (up - up.min()) / (np.ptp(up) + 1e-9)
         dots = rng.integers(0, 256, size=(h, w)).astype(np.float32)
         right = 0.65 * (up * 255.0) + 0.35 * dots
     else:

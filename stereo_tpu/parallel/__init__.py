@@ -17,3 +17,7 @@ __all__ = [
     "make_tile_mesh",
     "initialize_multihost",
 ]
+
+from .stream import StreamRunner, build_stream_pipeline  # noqa: E402
+
+__all__ += ["StreamRunner", "build_stream_pipeline"]

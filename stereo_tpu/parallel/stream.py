@@ -1,0 +1,214 @@
+"""Batched video-stream runner: data parallel + tile parallel + pipelining.
+
+Reference behavior: none — the reference processes one pair per run
+(SURVEY.md §3.1); multi-frame throughput is new scope (BASELINE.json:11,
+config 5: batched KITTI video stream, multi-host tile-parallel SGM).
+
+TPU-native design (SURVEY.md §2.2 P1 + P4, §3.4):
+  * frames shard over the 'batch' mesh axis (P1), tiles over ('ty','tx');
+  * stage pipelining (P4) comes from JAX async dispatch: the host enqueues
+    batch n+1 while batch n computes, with donated I/O buffers so XLA
+    reuses the frame memory;
+  * the runner checkpoints stream position to a JSON manifest and resumes
+    from it (SURVEY.md §5 "checkpoint/resume": there are no weights — the
+    checkpoint is the frame cursor + accumulated stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import StereoConfig, TileConfig
+from ..pipeline.pipeline import StereoResult
+from .tiling import _halo_widths, make_tile_fn, padded_extent, shard_map
+
+
+def build_stream_pipeline(
+    cfg: StereoConfig,
+    mesh: Mesh,
+    image_shape: Tuple[int, int],
+    tile_cfg: Optional[TileConfig] = None,
+    donate: bool = False,
+):
+    """Jitted ``(left [B,H,W], right [B,H,W]) -> StereoResult [B,H,W]``.
+
+    ``donate`` is off by default: uint8 frame buffers cannot alias the f32
+    disparity outputs, so donation would only emit warnings.
+
+    B must be a multiple of the 'batch' mesh axis. Frames split over
+    'batch'; each frame tiles over ('ty','tx') exactly like the single-pair
+    halo pipeline (same tile_fn, vmapped over the per-device frame axis).
+    Outputs stay sharded over 'batch' (each host keeps its frames).
+    """
+    tile_cfg = tile_cfg or TileConfig(
+        mesh_shape=(mesh.shape["ty"], mesh.shape["tx"])
+    )
+    ty, tx = mesh.shape["ty"], mesh.shape["tx"]
+    h, w = image_shape
+    hp, wp = padded_extent(h, ty), padded_extent(w, tx)
+    bh, bw = hp // ty, wp // tx
+    halo_y, halo_x_lo, halo_x_hi = _halo_widths(cfg, tile_cfg)
+    tile_fn = make_tile_fn(cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi)
+
+    def batched(left, right):
+        if left.shape[1:] != (h, w):
+            raise ValueError(
+                f"stream pipeline built for {h}x{w} frames, got {left.shape}"
+            )
+        lp = jnp.pad(left, ((0, 0), (0, hp - h), (0, wp - w)))
+        rp = jnp.pad(right, ((0, 0), (0, hp - h), (0, wp - w)))
+
+        per_frame = jax.vmap(tile_fn)
+        res = shard_map(
+            per_frame,
+            mesh=mesh,
+            in_specs=(P("batch", "ty", "tx"), P("batch", "ty", "tx")),
+            out_specs=StereoResult(
+                disp=P("batch", "ty", "tx"), valid=P("batch", "ty", "tx")
+            ),
+        )(lp, rp)
+        return StereoResult(
+            disp=res.disp[:, :h, :w], valid=res.valid[:, :h, :w]
+        )
+
+    out_sharding = StereoResult(
+        disp=NamedSharding(mesh, P("batch")),
+        valid=NamedSharding(mesh, P("batch")),
+    )
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(
+        batched, out_shardings=out_sharding, donate_argnums=donate_argnums
+    )
+
+
+class StreamRunner:
+    """Drives a frame stream through the batched pipeline with resume.
+
+    Reference analog: none (single pair per process). The manifest file
+    records the next frame index and accumulated timing so an interrupted
+    run restarts where it left off (SURVEY.md §5 failure/checkpoint notes).
+    """
+
+    def __init__(
+        self,
+        cfg: StereoConfig,
+        mesh: Mesh,
+        image_shape: Tuple[int, int],
+        batch_size: Optional[int] = None,
+        tile_cfg: Optional[TileConfig] = None,
+        manifest_path: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.image_shape = image_shape
+        self.batch = batch_size or mesh.shape["batch"]
+        if self.batch % mesh.shape["batch"]:
+            raise ValueError("batch_size must divide the 'batch' mesh axis")
+        self.manifest_path = manifest_path
+        self.pipeline = build_stream_pipeline(cfg, mesh, image_shape, tile_cfg)
+        self.frames_done = 0
+        self.elapsed = 0.0
+        if manifest_path and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            self.frames_done = int(m.get("frames_done", 0))
+            self.elapsed = float(m.get("elapsed", 0.0))
+
+    def _checkpoint(self) -> None:
+        if not self.manifest_path:
+            return
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"frames_done": self.frames_done, "elapsed": self.elapsed}, f
+            )
+        os.replace(tmp, self.manifest_path)
+
+    def run(
+        self,
+        frames: Iterable[Tuple[np.ndarray, np.ndarray]],
+        on_result=None,
+        checkpoint_every: int = 8,
+        fail_after: Optional[int] = None,
+    ) -> dict:
+        """Process (left, right) frame pairs; returns throughput stats.
+
+        Frames before the manifest cursor are skipped (resume). Partial
+        trailing batches are padded with the last frame and the padding
+        results dropped. ``fail_after`` raises after N frames — the fault
+        injection hook used by the restart test (SURVEY.md §5).
+        """
+        it = iter(frames)
+        skipped = 0
+        while skipped < self.frames_done:
+            next(it)
+            skipped += 1
+
+        batch_l, batch_r = [], []
+        pending = []  # (result, n_real) for async-dispatch overlap (P4)
+
+        def drain_one():
+            res, n_real = pending.pop(0)
+            jax.block_until_ready(res.disp)
+            if on_result is not None:
+                on_result(
+                    StereoResult(
+                        disp=np.asarray(res.disp)[:n_real],
+                        valid=np.asarray(res.valid)[:n_real],
+                    )
+                )
+            self.frames_done += n_real
+
+        def flush(n_real):
+            l = np.stack(batch_l + [batch_l[-1]] * (self.batch - n_real))
+            r = np.stack(batch_r + [batch_r[-1]] * (self.batch - n_real))
+            res = self.pipeline(l, r)
+            pending.append((res, n_real))
+            # Keep at most two batches in flight: the host stays ahead of
+            # the device (P4 overlap) without unbounded queueing.
+            while len(pending) > 2:
+                drain_one()
+
+        t0 = time.perf_counter()
+        n_this_run = 0
+        for left, right in it:
+            batch_l.append(left)
+            batch_r.append(right)
+            if len(batch_l) == self.batch:
+                flush(self.batch)
+                batch_l, batch_r = [], []
+                n_this_run += self.batch
+                if fail_after is not None and n_this_run >= fail_after:
+                    while pending:
+                        drain_one()
+                    self.elapsed += time.perf_counter() - t0
+                    self._checkpoint()
+                    raise RuntimeError(
+                        f"fault injection: failing after {n_this_run} frames"
+                    )
+                if n_this_run % checkpoint_every == 0:
+                    while pending:
+                        drain_one()
+                    self.elapsed += time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    self._checkpoint()
+        if batch_l:
+            flush(len(batch_l))
+        while pending:
+            drain_one()
+        self.elapsed += time.perf_counter() - t0
+        self._checkpoint()
+        fps = self.frames_done / self.elapsed if self.elapsed else 0.0
+        return {
+            "frames": self.frames_done,
+            "elapsed": self.elapsed,
+            "fps": fps,
+        }

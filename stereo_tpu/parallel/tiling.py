@@ -97,6 +97,81 @@ def padded_extent(size: int, tiles: int) -> int:
     return -(-size // tiles) * tiles
 
 
+def make_tile_fn(
+    cfg: StereoConfig,
+    h: int,
+    w: int,
+    bh: int,
+    bw: int,
+    halo_y: int,
+    halo_x_lo: int,
+    halo_x_hi: int,
+):
+    """Per-tile pipeline body run under shard_map over mesh axes ('ty','tx').
+
+    Shared by the single-pair tiled pipeline below and the batched stream
+    pipeline (parallel/stream.py), which vmaps it over a frame axis.
+    """
+
+    def tile_fn(l_blk, r_blk):
+        # shard_map passes [bh, bw] blocks; build the halo-extended
+        # working tile and its global-coordinate validity mask.
+        iy = lax.axis_index("ty")
+        ix = lax.axis_index("tx")
+
+        y0 = iy * bh - halo_y
+        x0 = ix * bw - halo_x_lo
+        ys = y0 + jnp.arange(bh + 2 * halo_y)[:, None]
+        xs = x0 + jnp.arange(bw + halo_x_lo + halo_x_hi)[None, :]
+        valid = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+
+        # Out-of-image halo positions (zero-filled by ppermute at frame
+        # edges) are remapped to the nearest in-image pixel so window
+        # ops see the same edge-replicated borders as the untiled
+        # pipeline. The clamped coordinate always lies inside this
+        # tile's extended block (edge tiles own the frame border).
+        ys_l = jnp.clip(ys, 0, h - 1) - y0
+        xs_l = jnp.clip(xs, 0, w - 1) - x0
+
+        def extend(img):
+            e = _halo_exchange(img, 0, "ty", halo_y, halo_y)
+            e = _halo_exchange(e, 1, "tx", halo_x_lo, halo_x_hi)
+            return e[ys_l, xs_l]
+
+        l_ext = extend(l_blk)
+        r_ext = extend(r_blk)
+
+        # The median runs AFTER cropping, on a 1-px halo of final
+        # disparity values: running it inside the extended tile would
+        # mix disparities computed at out-of-image replica pixels,
+        # whereas the untiled pipeline replicates the edge *disparity*.
+        cfg_tile = cfg.replace(median_filter=False)
+        res = compute_disparity(
+            l_ext, r_ext, cfg_tile, valid=valid, x_offset=x0, image_width=w
+        )
+        crop = (
+            slice(halo_y, halo_y + bh),
+            slice(halo_x_lo, halo_x_lo + bw),
+        )
+        disp_c = res.disp[crop]
+        valid_c = res.valid[crop] & valid[crop]
+
+        if cfg.median_filter:
+            e = _halo_exchange(disp_c, 0, "ty", 1, 1)
+            e = _halo_exchange(e, 1, "tx", 1, 1)
+            ys1 = iy * bh - 1 + jnp.arange(bh + 2)[:, None]
+            xs1 = ix * bw - 1 + jnp.arange(bw + 2)[None, :]
+            e = e[
+                jnp.clip(ys1, 0, h - 1) - (iy * bh - 1),
+                jnp.clip(xs1, 0, w - 1) - (ix * bw - 1),
+            ]
+            disp_c = median_3x3(e)[1:-1, 1:-1]
+
+        return StereoResult(disp=disp_c, valid=valid_c)
+
+    return tile_fn
+
+
 def build_halo_pipeline(
     cfg: StereoConfig,
     mesh: Mesh,
@@ -121,62 +196,9 @@ def build_halo_pipeline(
         left_p = jnp.pad(left, ((0, hp - h), (0, wp - w)))
         right_p = jnp.pad(right, ((0, hp - h), (0, wp - w)))
 
-        def tile_fn(l_blk, r_blk):
-            # shard_map passes [bh, bw] blocks; build the halo-extended
-            # working tile and its global-coordinate validity mask.
-            iy = lax.axis_index("ty")
-            ix = lax.axis_index("tx")
-
-            y0 = iy * bh - halo_y
-            x0 = ix * bw - halo_x_lo
-            ys = y0 + jnp.arange(bh + 2 * halo_y)[:, None]
-            xs = x0 + jnp.arange(bw + halo_x_lo + halo_x_hi)[None, :]
-            valid = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
-
-            # Out-of-image halo positions (zero-filled by ppermute at frame
-            # edges) are remapped to the nearest in-image pixel so window
-            # ops see the same edge-replicated borders as the untiled
-            # pipeline. The clamped coordinate always lies inside this
-            # tile's extended block (edge tiles own the frame border).
-            ys_l = jnp.clip(ys, 0, h - 1) - y0
-            xs_l = jnp.clip(xs, 0, w - 1) - x0
-
-            def extend(img):
-                e = _halo_exchange(img, 0, "ty", halo_y, halo_y)
-                e = _halo_exchange(e, 1, "tx", halo_x_lo, halo_x_hi)
-                return e[ys_l, xs_l]
-
-            l_ext = extend(l_blk)
-            r_ext = extend(r_blk)
-
-            # The median runs AFTER cropping, on a 1-px halo of final
-            # disparity values: running it inside the extended tile would
-            # mix disparities computed at out-of-image replica pixels,
-            # whereas the untiled pipeline replicates the edge *disparity*.
-            cfg_tile = cfg.replace(median_filter=False)
-            res = compute_disparity(
-                l_ext, r_ext, cfg_tile, valid=valid, x_offset=x0, image_width=w
-            )
-            crop = (
-                slice(halo_y, halo_y + bh),
-                slice(halo_x_lo, halo_x_lo + bw),
-            )
-            disp_c = res.disp[crop]
-            valid_c = res.valid[crop] & valid[crop]
-
-            if cfg.median_filter:
-                e = _halo_exchange(disp_c, 0, "ty", 1, 1)
-                e = _halo_exchange(e, 1, "tx", 1, 1)
-                ys1 = iy * bh - 1 + jnp.arange(bh + 2)[:, None]
-                xs1 = ix * bw - 1 + jnp.arange(bw + 2)[None, :]
-                e = e[
-                    jnp.clip(ys1, 0, h - 1) - (iy * bh - 1),
-                    jnp.clip(xs1, 0, w - 1) - (ix * bw - 1),
-                ]
-                disp_c = median_3x3(e)[1:-1, 1:-1]
-
-            return StereoResult(disp=disp_c, valid=valid_c)
-
+        tile_fn = make_tile_fn(
+            cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi
+        )
         res = shard_map(
             tile_fn,
             mesh=mesh,

@@ -1,0 +1,83 @@
+"""Batched stream runner tests: correctness, resume, fault injection."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from stereo_tpu import StereoConfig, compute_disparity
+from stereo_tpu.data import make_pair
+from stereo_tpu.parallel import (
+    StreamRunner,
+    build_stream_pipeline,
+    make_tile_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh_b2():
+    return make_tile_mesh(jax.devices()[:8], mesh_shape=(2, 2), batch=2)
+
+
+CFG = StereoConfig(
+    cost_fn="census", num_disparities=8, num_paths=0, subpixel=False,
+    median_filter=False,
+)
+SHAPE = (32, 48)
+
+
+def _frames(n, seed=0):
+    return [
+        (p.left, p.right)
+        for p in (
+            make_pair(SHAPE, max_disp=6, kind="constant", seed=seed + i)
+            for i in range(n)
+        )
+    ]
+
+
+def test_stream_matches_per_frame(mesh_b2):
+    frames = _frames(4)
+    fn = build_stream_pipeline(CFG, mesh_b2, SHAPE, donate=False)
+    l = np.stack([f[0] for f in frames])
+    r = np.stack([f[1] for f in frames])
+    # batch 4 over batch-axis 2: reshape into two device groups of 2 each
+    res = fn(l[:2], r[:2])
+    for i in range(2):
+        g = compute_disparity(frames[i][0], frames[i][1], CFG)
+        np.testing.assert_array_equal(np.array(res.disp[i]), np.array(g.disp))
+
+
+def test_runner_processes_all_frames(tmp_path, mesh_b2):
+    frames = _frames(7)
+    runner = StreamRunner(
+        CFG, mesh_b2, SHAPE, batch_size=2,
+        manifest_path=str(tmp_path / "m.json"),
+    )
+    outs = []
+    stats = runner.run(frames, on_result=lambda r: outs.append(r))
+    assert stats["frames"] == 7
+    assert sum(o.disp.shape[0] for o in outs) == 7
+    # last (padded) batch result matches golden
+    g = compute_disparity(frames[6][0], frames[6][1], CFG)
+    np.testing.assert_array_equal(np.array(outs[-1].disp[-1]), np.array(g.disp))
+
+
+def test_runner_fault_inject_and_resume(tmp_path, mesh_b2):
+    """Kill mid-stream, restart from manifest, end with every frame done
+    exactly once (SURVEY.md §5 failure detection / restart-from-frame)."""
+    frames = _frames(8, seed=100)
+    manifest = str(tmp_path / "m.json")
+    done = []
+
+    r1 = StreamRunner(CFG, mesh_b2, SHAPE, batch_size=2, manifest_path=manifest)
+    with pytest.raises(RuntimeError, match="fault injection"):
+        r1.run(frames, on_result=lambda r: done.append(r.disp.shape[0]),
+               fail_after=4, checkpoint_every=2)
+    assert sum(done) == 4
+
+    r2 = StreamRunner(CFG, mesh_b2, SHAPE, batch_size=2, manifest_path=manifest)
+    assert r2.frames_done == 4
+    stats = r2.run(frames, on_result=lambda r: done.append(r.disp.shape[0]))
+    assert stats["frames"] == 8
+    assert sum(done) == 8
