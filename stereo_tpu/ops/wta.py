@@ -5,10 +5,13 @@ then a parabola fit through the winner's neighboring costs:
 
     d* = d - (C+ - C-) / (2 (C+ - 2 C0 + C-))
 
-TPU-native design: in the fused Pallas path (ops/pallas/sgm_kernel.py) this
-runs in the final SGM pass epilogue so the summed volume S is never
-materialized (BASELINE.json:5); this jnp version is the standalone oracle and
-the golden-path implementation.
+TPU-native design: everything is reductions and masked sweeps over the D
+lane axis — no gathers. ``take_along_axis`` on a [H, W, D] volume lowers to
+an XLA gather that is orders of magnitude slower on TPU than three extra
+masked min-reductions; the winner cost is simply the min, and the +-1
+neighbor costs come from iota-mask reductions. The fully fused variant
+(inside the SGM scan epilogue, never materializing S) lives in
+ops/pallas/sgm_kernel.py; this jnp version is the oracle.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ def wta_disparity(
     """Select disparities from the aggregated volume.
 
     Args:
-      s: [H, W, D] int32 aggregated (or raw) cost volume.
+      s: [H, W, D] integer aggregated (or raw) cost volume.
       cfg: static config (subpixel, uniqueness_ratio).
 
     Returns:
@@ -34,28 +37,34 @@ def wta_disparity(
       valid: [H, W] bool (False where the uniqueness test rejects).
     """
     d = s.shape[-1]
-    d0 = jnp.argmin(s, axis=-1)                                # [H, W]
-    c0 = jnp.take_along_axis(s, d0[..., None], axis=-1)[..., 0]
+    big = jnp.iinfo(s.dtype).max
+    ds = jnp.arange(d)
+
+    c0 = jnp.min(s, axis=-1)                                   # winner cost
+    # First-winner argmin via masked index reduction (ties -> smallest d,
+    # matching jnp.argmin semantics).
+    d0 = jnp.min(
+        jnp.where(s == c0[..., None], ds, d), axis=-1
+    ).astype(jnp.int32)
 
     valid = jnp.ones(d0.shape, dtype=bool)
     if cfg.uniqueness_ratio > 0:
         # Best cost outside the winner's +-1 neighborhood must exceed
         # c0 * (1 + ratio), else the match is ambiguous.
-        ds = jnp.arange(d)
         near = jnp.abs(ds[None, None, :] - d0[..., None]) <= 1
-        big = jnp.iinfo(s.dtype).max
         c2 = jnp.min(jnp.where(near, big, s), axis=-1)
-        thresh = (
-            c0.astype(jnp.float32) * (1.0 + cfg.uniqueness_ratio)
+        valid = valid & (
+            c2.astype(jnp.float32)
+            > c0.astype(jnp.float32) * (1.0 + cfg.uniqueness_ratio)
         )
-        valid = valid & (c2.astype(jnp.float32) > thresh)
 
     disp = d0.astype(jnp.float32)
     if cfg.subpixel and d > 1:
-        dm = jnp.clip(d0 - 1, 0, d - 1)
-        dp = jnp.clip(d0 + 1, 0, d - 1)
-        cm = jnp.take_along_axis(s, dm[..., None], axis=-1)[..., 0]
-        cp = jnp.take_along_axis(s, dp[..., None], axis=-1)[..., 0]
+        # Neighbor costs via iota-mask reductions (no gathers).
+        sel_m = ds[None, None, :] == (d0[..., None] - 1)
+        sel_p = ds[None, None, :] == (d0[..., None] + 1)
+        cm = jnp.min(jnp.where(sel_m, s, big), axis=-1)
+        cp = jnp.min(jnp.where(sel_p, s, big), axis=-1)
         cm_f = cm.astype(jnp.float32)
         cp_f = cp.astype(jnp.float32)
         c0_f = c0.astype(jnp.float32)

@@ -1,0 +1,49 @@
+"""Pallas SGM kernel vs the golden jnp implementation (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from stereo_tpu.config import StereoConfig
+from stereo_tpu.ops import sgm_aggregate
+from stereo_tpu.ops.pallas.sgm_kernel import sgm_aggregate_pallas
+
+
+@pytest.mark.parametrize("paths", [4, 8])
+@pytest.mark.parametrize("dtype", [np.int32, np.int16])
+def test_pallas_sgm_matches_golden(paths, dtype):
+    rng = np.random.default_rng(paths)
+    h, w, d = 24, 40, 16  # h divisible by block (8): no padding path
+    cost = rng.integers(0, 25, size=(h, w, d)).astype(dtype)
+    cfg = StereoConfig(num_paths=paths, p1=3, p2=20)
+    got = np.array(sgm_aggregate_pallas(cost, cfg, interpret=True))
+    want = np.array(sgm_aggregate(cost.astype(np.int32), cfg)).astype(dtype)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_sgm_row_padding():
+    """H not divisible by the row block: padded rows must not leak."""
+    rng = np.random.default_rng(0)
+    h, w, d = 21, 32, 16
+    cost = rng.integers(0, 25, size=(h, w, d)).astype(np.int32)
+    cfg = StereoConfig(num_paths=8, p1=4, p2=30)
+    got = np.array(sgm_aggregate_pallas(cost, cfg, interpret=True))
+    want = np.array(sgm_aggregate(cost, cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_sgm_d128():
+    """Full 128-lane disparity axis (the KITTI config's D)."""
+    rng = np.random.default_rng(1)
+    cost = rng.integers(0, 25, size=(16, 24, 128)).astype(np.int16)
+    cfg = StereoConfig(num_paths=8, p1=10, p2=120)
+    got = np.array(sgm_aggregate_pallas(cost, cfg, interpret=True))
+    want = np.array(sgm_aggregate(cost.astype(np.int32), cfg)).astype(np.int16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_sgm_zero_penalties():
+    rng = np.random.default_rng(2)
+    cost = rng.integers(0, 25, size=(8, 16, 8)).astype(np.int32)
+    cfg = StereoConfig(num_paths=8, p1=0, p2=0)
+    got = np.array(sgm_aggregate_pallas(cost, cfg, interpret=True))
+    np.testing.assert_array_equal(got, cost * 8)
