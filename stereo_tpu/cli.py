@@ -154,8 +154,9 @@ def cmd_run(args) -> int:
             file=sys.stderr,
         )
 
-    disp = np.asarray(res.disp)
-    valid = np.asarray(res.valid)
+    from .pipeline.pipeline import host_postprocess
+
+    disp, valid = host_postprocess(res.disp, res.valid, cfg)
     if pair.gt_valid.any():
         m = evaluate_disparity(disp, pair.gt_disp, pair.gt_valid, valid)
         print(json.dumps({"pair": pair.name, **{k: round(v, 5) for k, v in m.items()}}))

@@ -25,7 +25,17 @@ from .synthetic import StereoPair
 
 
 def load_image_gray(path: str) -> np.ndarray:
-    """Load an image as [H, W] uint8 grayscale (ITU-R BT.601 luma)."""
+    """Load an image as [H, W] uint8 grayscale (ITU-R BT.601 luma).
+
+    PGM/PPM files go through the native C++ reader (stereo_tpu.native)
+    when available; everything else (and the fallback) uses PIL.
+    """
+    if path.endswith((".pgm", ".ppm", ".pnm")):
+        from ..native import read_pnm_gray
+
+        img = read_pnm_gray(path)
+        if img is not None:
+            return img
     from PIL import Image
 
     img = Image.open(path)
@@ -37,8 +47,14 @@ def load_image_gray(path: str) -> np.ndarray:
 def read_pfm(path: str) -> np.ndarray:
     """Read a Middlebury .pfm disparity map as [H, W] float32.
 
-    PFM stores rows bottom-to-top; Inf marks unknown disparity.
+    PFM stores rows bottom-to-top; Inf marks unknown disparity. Uses the
+    native C++ reader when available.
     """
+    from ..native import read_pfm_native
+
+    native = read_pfm_native(path)
+    if native is not None:
+        return native
     with open(path, "rb") as f:
         header = f.readline().decode("latin-1").strip()
         if header not in ("Pf", "PF"):

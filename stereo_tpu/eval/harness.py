@@ -19,7 +19,7 @@ import numpy as np
 
 from ..config import StereoConfig
 from ..data.synthetic import StereoPair
-from ..pipeline.pipeline import build_pipeline
+from ..pipeline.pipeline import build_pipeline, host_postprocess
 from .metrics import evaluate_disparity
 
 
@@ -75,8 +75,7 @@ class EvalHarness:
             fn = self._pipeline_for(pair.left.shape)
             t0 = time.perf_counter()
             res = fn(pair.left, pair.right)
-            disp = np.asarray(res.disp)
-            valid = np.asarray(res.valid)
+            disp, valid = host_postprocess(res.disp, res.valid, self.cfg)
             dt = time.perf_counter() - t0
             m = evaluate_disparity(
                 disp, pair.gt_disp, pair.gt_valid, valid, deltas=deltas

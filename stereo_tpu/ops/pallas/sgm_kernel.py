@@ -1,31 +1,38 @@
 """Fused SGM path aggregation as Pallas TPU kernels.
 
-The flagship kernel (SURVEY.md §2.1 C6): the reference runs one OpenCL
-kernel per path direction, each re-streaming the cost volume. Here ALL
-EIGHT Hirschmueller paths run in TWO passes over the HBM-resident volume:
+The flagship kernels (SURVEY.md §2.1 C6). The reference enqueues one OpenCL
+kernel per path direction, each re-streaming the cost volume; here all 4/8
+Hirschmueller paths run in four blocked passes over the HBM-resident
+volume, each shaped to keep the VPU full:
 
-  * forward kernel (grid walks row blocks top-down): left-to-right and
-    right-to-left scans over the x axis (carry [BH, D] in registers),
-    plus top-to-bottom, down-right and down-left paths whose carries are
-    full [W, D] rows persisting in VMEM scratch across grid steps — the
-    diagonal paths are just the vertical carry shifted one pixel along the
-    sublane (x) axis, so no shearing and no extra memory traffic;
-  * backward kernel (grid walks row blocks bottom-up, reverse index_map):
-    bottom-to-top, up-right, up-left, accumulated IN PLACE onto the
-    forward sums via input/output aliasing.
+  * horizontal kernels (one per direction): grid = (row_blocks, x_chunks)
+    with the x-chunk axis minor, so a TALL [BR~64, D] scan slab steps
+    through x while the carry persists in VMEM scratch across chunk steps.
+    Tall blocks matter: a VMEM-resident [rows, W, D] design is limited to
+    ~8 rows, wastes the 8x128 VPU on skinny slabs, and goes latency-bound
+    on W sequential steps (measured 72 ms vs a few ms at KITTI scale).
+  * vertical kernels (one per scan direction): the grid walks row blocks
+    top-down (bottom-up for the reverse pass via a reversed index_map),
+    each grid step adding top-to-bottom + down-right + down-left rows
+    (resp. the three up paths) with full [W, D] row carries persisting in
+    VMEM scratch across grid steps. A diagonal path is just the vertical
+    carry shifted one pixel along the sublane (x) axis — no shearing, no
+    extra memory traffic, and each row update is one wide VPU slab.
 
-Total HBM traffic: 2 cost reads + 1 write + 1 read-modify-write of S —
-independent of path count, vs 8 volume sweeps in the kernel-per-direction
-scheme. Fresh-start masking uses GLOBAL row/column indices, so row/column
-padding to block multiples never leaks into real pixels.
+All passes accumulate into one summed volume via input/output aliasing:
+S traffic is one write + three read-modify-writes regardless of path
+count. Fresh-start masking uses GLOBAL row/column indices, so padding to
+block multiples never leaks into real pixels. Compute runs in int32
+(Mosaic lacks int16 lane reductions); HBM traffic uses the caller's dtype
+(int16 recommended: L <= max_unary_cost + P2 and 8-path sums < 2^15).
 
-Bit-exact oracle: stereo_tpu.ops.sgm.sgm_aggregate (tests/ops/test_pallas_sgm.py).
+Bit-exact oracle: stereo_tpu.ops.sgm.sgm_aggregate
+(tests/ops/test_pallas_sgm.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,20 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import StereoConfig
 
-def _pick_bh(w: int, d: int, itemsize: int, budget_bytes: int = 2 << 20) -> int:
-    """Rows per grid step: cap the [BH, W, D] block near `budget_bytes` so
-    in/out double buffers + the [W, D] carries stay inside scoped VMEM
-    (16 MB on v5e); at most 8 rows (one sublane tile for the horizontal
-    [BH, D] scan slabs)."""
-    return max(1, min(8, budget_bytes // (w * d * itemsize)))
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * (1 << 20))
 
 
 def _upd(prev: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
     """cand - m of the SGM recurrence, vectorized over the D lane axis.
 
-    prev: [..., D]. Returns min(prev, prev<<1 + P1, prev>>1 + P1, m + P2) - m
-    with edge-replicated d+-1 shifts (replica is never the winner since
-    P1 >= 0, matching the golden lax.scan recurrence).
+    prev: [..., D] int32. min(prev, prev<<1 + P1, prev>>1 + P1, m + P2) - m
+    with edge-replicated d+-1 shifts (the replica never wins for P1 >= 0,
+    matching the golden lax.scan recurrence).
     """
     m = jnp.min(prev, axis=-1, keepdims=True)
     dn = jnp.concatenate([prev[..., :1], prev[..., :-1]], axis=-1) + p1
@@ -56,110 +58,92 @@ def _upd(prev: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
     return cand - m
 
 
-def _fwd_kernel(
-    cost_ref, out_ref, vc_ref, drc_ref, dlc_ref, *, p1, p2, true_w, diag, bh_s
-):
-    """Forward pass: L2R + R2L + T2B (+ down-right + down-left)."""
-    pid = pl.program_id(0)
-    bh, w, d = cost_ref.shape
+def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
+              xc, reverse, accumulate):
+    """One horizontal direction over a [XC, BR, D] block of the TRANSPOSED
+    (W, H, D) volume.
 
-    # --- horizontal scans over x, carry [BH, D] ---
-    def h_fwd(x, carry):
-        c = cost_ref[:, x, :]
-        l = jnp.where(x == 0, c, c + _upd(carry, p1, p2))
-        out_ref[:, x, :] = l
+    The scan axis must be the untiled depth dimension: Mosaic cannot load a
+    dynamically indexed single sublane (cost[:, x, :]) from a tiled dim, so
+    the wrapper hands this kernel the volume transposed to (W, H, D) and
+    the scan is plain cost_ref[x].
+
+    Grid = (row_blocks, x_chunks) with the chunk axis minor; chunks sweep
+    left-to-right (right-to-left when reverse, via the index_map).
+    carry_ref [BR, D] persists across chunk steps; its stale value from
+    the previous row block is masked off at the global scan origin.
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    dt = out_ref.dtype
+    chunk = (nj - 1 - j) if reverse else j
+
+    def body(i, carry):
+        x = (xc - 1 - i) if reverse else i
+        gx = chunk * xc + x
+        c = cost_ref[x].astype(jnp.int32)
+        origin = (gx == true_w - 1) if reverse else (gx == 0)
+        l = jnp.where(origin, c, c + _upd(carry, p1, p2))
+        if accumulate:
+            out_ref[x] = acc_ref[x] + l.astype(dt)
+        else:
+            out_ref[x] = l.astype(dt)
         return l
 
-    jax.lax.fori_loop(0, w, h_fwd, jnp.zeros((bh, d), cost_ref.dtype))
-
-    def h_bwd(i, carry):
-        x = w - 1 - i
-        c = cost_ref[:, x, :]
-        l = jnp.where(x == true_w - 1, c, c + _upd(carry, p1, p2))
-        out_ref[:, x, :] = out_ref[:, x, :] + l
-        return l
-
-    jax.lax.fori_loop(0, w, h_bwd, jnp.zeros((bh, d), cost_ref.dtype))
-
-    # --- vertical + diagonal rows, carries [W, D] persist across blocks ---
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, (w, d), 0)
-    v = vc_ref[:]
-    dr = drc_ref[:] if diag else None
-    dl = dlc_ref[:] if diag else None
-    for r in range(bh_s):
-        c = cost_ref[r]
-        is_first = jnp.logical_and(pid == 0, r == 0)
-        lv = jnp.where(is_first, c, c + _upd(v, p1, p2))
-        acc = lv
-        if diag:
-            # down-right: predecessor (y-1, x-1) -> carry shifted +1 in x;
-            # fresh start at the global left edge (x == 0).
-            dr_sh = jnp.concatenate([dr[:1], dr[:-1]], axis=0)
-            ldr = jnp.where(
-                jnp.logical_or(is_first, x_iota == 0),
-                c,
-                c + _upd(dr_sh, p1, p2),
-            )
-            # down-left: predecessor (y-1, x+1); fresh at global right edge.
-            dl_sh = jnp.concatenate([dl[1:], dl[-1:]], axis=0)
-            ldl = jnp.where(
-                jnp.logical_or(is_first, x_iota == true_w - 1),
-                c,
-                c + _upd(dl_sh, p1, p2),
-            )
-            acc = acc + ldr + ldl
-            dr, dl = ldr, ldl
-        out_ref[r] = out_ref[r] + acc
-        v = lv
-    vc_ref[:] = v
-    if diag:
-        drc_ref[:] = dr
-        dlc_ref[:] = dl
+    final = jax.lax.fori_loop(0, xc, body, carry_ref[:].astype(jnp.int32))
+    carry_ref[:] = final.astype(carry_ref.dtype)
 
 
-def _bwd_kernel(
-    cost_ref, sfwd_ref, out_ref, vc_ref, urc_ref, ulc_ref,
-    *, p1, p2, true_h, true_w, diag, bh_s,
-):
-    """Backward pass: B2T (+ up-right + up-left), accumulated onto s_fwd."""
+def _h_no_acc(cost_ref, out_ref, carry_ref, *, p1, p2, true_w, xc, reverse):
+    _h_kernel(cost_ref, None, out_ref, carry_ref, p1=p1, p2=p2,
+              true_w=true_w, xc=xc, reverse=reverse, accumulate=False)
+
+
+def _v_kernel(cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
+              *, p1, p2, true_h, true_w, diag, bh, up):
+    """T2B + down-right + down-left rows (or the three up paths) for one
+    [BH, W, D] row block, accumulated onto acc_ref."""
     pid = pl.program_id(0)
     nb = pl.num_programs(0)
-    bh, w, d = cost_ref.shape
-    block = nb - 1 - pid  # reverse index_map walks blocks bottom-up
+    dt = out_ref.dtype
+    w, d = vc_ref.shape
+    block = (nb - 1 - pid) if up else pid
 
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (w, d), 0)
     v = vc_ref[:]
-    ur = urc_ref[:] if diag else None
-    ul = ulc_ref[:] if diag else None
-    for r in range(bh_s - 1, -1, -1):
-        c = cost_ref[r]
-        grow = block * bh_s + r
-        is_first = grow == true_h - 1  # bottom image row: fresh start
-        lv = jnp.where(is_first, c, c + _upd(v, p1, p2))
+    d1 = d1c_ref[:] if diag else None
+    d2 = d2c_ref[:] if diag else None
+    rows = range(bh - 1, -1, -1) if up else range(bh)
+    for r in rows:
+        c = cost_ref[r].astype(jnp.int32)
+        grow = block * bh + r
+        origin = (grow == true_h - 1) if up else (grow == 0)
+        lv = jnp.where(origin, c, c + _upd(v, p1, p2))
         acc = lv
         if diag:
-            # up-right: predecessor (y+1, x-1) -> carry shifted +1 in x.
-            ur_sh = jnp.concatenate([ur[:1], ur[:-1]], axis=0)
-            lur = jnp.where(
-                jnp.logical_or(is_first, x_iota == 0),
-                c,
-                c + _upd(ur_sh, p1, p2),
+            # diagonal A: predecessor one pixel to the LEFT in the previous
+            # scan row (down-right going down, up-right going up); fresh
+            # start at the global left edge.
+            d1_sh = jnp.concatenate([d1[:1], d1[:-1]], axis=0)
+            l1 = jnp.where(
+                jnp.logical_or(origin, x_iota == 0),
+                c, c + _upd(d1_sh, p1, p2),
             )
-            # up-left: predecessor (y+1, x+1).
-            ul_sh = jnp.concatenate([ul[1:], ul[-1:]], axis=0)
-            lul = jnp.where(
-                jnp.logical_or(is_first, x_iota == true_w - 1),
-                c,
-                c + _upd(ul_sh, p1, p2),
+            # diagonal B: predecessor one pixel to the RIGHT; fresh start
+            # at the global right edge.
+            d2_sh = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
+            l2 = jnp.where(
+                jnp.logical_or(origin, x_iota == true_w - 1),
+                c, c + _upd(d2_sh, p1, p2),
             )
-            acc = acc + lur + lul
-            ur, ul = lur, lul
-        out_ref[r] = sfwd_ref[r] + acc
+            acc = acc + l1 + l2
+            d1, d2 = l1, l2
+        out_ref[r] = acc_ref[r] + acc.astype(dt)
         v = lv
     vc_ref[:] = v
     if diag:
-        urc_ref[:] = ur
-        ulc_ref[:] = ul
+        d1c_ref[:] = d1
+        d2c_ref[:] = d2
 
 
 def sgm_aggregate_pallas(
@@ -167,13 +151,12 @@ def sgm_aggregate_pallas(
     cfg: StereoConfig,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """S(p, d) = sum of 4/8 SGM path costs, two fused HBM passes.
+    """S(p, d) = sum of 4/8 SGM path costs over four blocked HBM passes.
 
     Args:
-      cost: [H, W, D] integer cost volume (int16 recommended: L is bounded
-        by max_unary_cost + P2, and 8 path sums stay < 2^15).
-      cfg: static config; num_paths in {4, 8}; adaptive_p2 unsupported here
-        (golden path covers it).
+      cost: [H, W, D] integer cost volume (int16 recommended).
+      cfg: static config; num_paths in {4, 8}; adaptive_p2 unsupported
+        here (the golden path covers it).
 
     Returns: [H, W, D] summed volume, same dtype, bit-exact vs the golden
     sgm_aggregate for full-frame (all-valid) inputs.
@@ -183,53 +166,86 @@ def sgm_aggregate_pallas(
     if cfg.adaptive_p2:
         raise NotImplementedError("adaptive_p2: use the golden sgm_aggregate")
     h, w, d = cost.shape
-    diag = cfg.num_paths == 8
-    bh = _pick_bh(w, d, cost.dtype.itemsize)
-    hp = -(-h // bh) * bh
-    if hp != h:
-        cost = jnp.pad(cost, ((0, hp - h), (0, 0), (0, 0)))
-    nb = hp // bh
-    dt = cost.dtype
     p1, p2 = int(cfg.p1), int(cfg.p2)
+    diag = cfg.num_paths == 8
+    dt = cost.dtype
 
-    carry = lambda: pltpu.VMEM((w, d), dt)
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * (1 << 20))
-    fwd = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, p1=p1, p2=p2, true_w=w, diag=diag, bh_s=bh
-        ),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((bh, w, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bh, w, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, w, d), dt),
-        scratch_shapes=[carry(), carry(), carry()],
-        compiler_params=params,
-        interpret=interpret,
-    )
-    s_fwd = fwd(cost)
+    # Pad H to the horizontal row-block multiple and W to the x-chunk
+    # multiple. Horizontal scans never cross rows, and the vertical/
+    # diagonal origin masks use true_h/true_w, so padding is pure garbage
+    # that gets cropped.
+    br = 128 if h >= 128 else -(-h // 8) * 8
+    hp = -(-h // br) * br
+    xc = 64 if w >= 64 else -(-w // 8) * 8
+    wp = -(-w // xc) * xc
+    if (hp, wp) != (h, w):
+        cost = jnp.pad(cost, ((0, hp - h), (0, wp - w), (0, 0)))
+    grid_h = (hp // br, wp // xc)
 
-    bwd = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel, p1=p1, p2=p2, true_h=h, true_w=w, diag=diag, bh_s=bh
-        ),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((bh, w, d), lambda i: (nb - 1 - i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, w, d), lambda i: (nb - 1 - i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bh, w, d), lambda i: (nb - 1 - i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, w, d), dt),
-        scratch_shapes=[carry(), carry(), carry()],
-        input_output_aliases={1: 0},
-        compiler_params=params,
-        interpret=interpret,
-    )
-    s = bwd(cost, s_fwd)
-    return s[:h] if hp != h else s
+    def h_call(reverse, acc, cost_whd):
+        # Blocks are [XC, BR, D] slices of the transposed (W, H, D) volume.
+        accumulate = acc is not None
+        im = (
+            (lambda i, j: (grid_h[1] - 1 - j, i, 0))
+            if reverse
+            else (lambda i, j: (j, i, 0))
+        )
+        in_specs = [pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM)]
+        args = [cost_whd]
+        if accumulate:
+            in_specs.append(
+                pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM)
+            )
+            args.append(acc)
+            body = functools.partial(
+                _h_kernel, p1=p1, p2=p2, true_w=w, xc=xc,
+                reverse=reverse, accumulate=True,
+            )
+        else:
+            body = functools.partial(
+                _h_no_acc, p1=p1, p2=p2, true_w=w, xc=xc, reverse=reverse,
+            )
+        return pl.pallas_call(
+            body,
+            grid=grid_h,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((wp, hp, d), dt),
+            scratch_shapes=[pltpu.VMEM((br, d), jnp.int32)],
+            input_output_aliases={1: 0} if accumulate else {},
+            compiler_params=_VMEM_PARAMS,
+            interpret=interpret,
+        )(*args)
+
+    def v_call(up, acc):
+        bh = max(1, min(8, (2 << 20) // (wp * d * dt.itemsize)))
+        while hp % bh:
+            bh -= 1
+        nb = hp // bh
+        im = (lambda i: (nb - 1 - i, 0, 0)) if up else (lambda i: (i, 0, 0))
+        carry = lambda: pltpu.VMEM((wp, d), jnp.int32)
+        return pl.pallas_call(
+            functools.partial(
+                _v_kernel, p1=p1, p2=p2, true_h=h, true_w=w,
+                diag=diag, bh=bh, up=up,
+            ),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
+                pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
+            scratch_shapes=[carry(), carry(), carry()],
+            input_output_aliases={1: 0},
+            compiler_params=_VMEM_PARAMS,
+            interpret=interpret,
+        )(cost, acc)
+
+    cost_whd = jnp.transpose(cost, (1, 0, 2))
+    s_whd = h_call(False, None, cost_whd)
+    s_whd = h_call(True, s_whd, cost_whd)
+    s = jnp.transpose(s_whd, (1, 0, 2))
+    s = v_call(False, s)
+    s = v_call(True, s)
+    return s[:h, :w]

@@ -41,11 +41,41 @@ class StereoResult(NamedTuple):
     valid: jnp.ndarray
 
 
+def _use_pallas(cfg: StereoConfig, valid, constrain) -> bool:
+    """Backend dispatch (SURVEY.md §2.1: every hot op has a jnp golden AND a
+    Pallas TPU kernel behind the same signature).
+
+    The Pallas SGM path runs for full-frame aggregation on a real TPU;
+    masked (tiled-halo) and sharding-constrained (exact-reshard) calls and
+    adaptive-P2 configs use the golden lax.scan implementation.
+    """
+    if cfg.backend == "jnp":
+        return False
+    if valid is not None or constrain is not None or cfg.adaptive_p2:
+        if cfg.backend == "pallas":
+            raise NotImplementedError(
+                "pallas backend does not support masked/constrained/"
+                "adaptive-P2 aggregation yet; use backend='auto' or 'jnp'"
+            )
+        return False
+    if cfg.num_paths == 0:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _aggregate(
     left, right, cfg: StereoConfig, valid=None, constrain=None, x_offset=0
 ):
-    """Cost volume + SGM for one reference view. Returns [H, W, D] int32."""
+    """Cost volume + SGM for one reference view. Returns [H, W, D] int."""
     vol = cost_volume(left, right, cfg, x_offset=x_offset)
+    if _use_pallas(cfg, valid, constrain):
+        from ..ops.pallas.sgm_kernel import sgm_aggregate_pallas
+
+        # int16 halves SGM's HBM traffic; bounds hold for census and the
+        # 0..255-normalized SAD (L <= max_unary_cost + P2, 8*L < 2^15).
+        return sgm_aggregate_pallas(vol.astype(jnp.int16), cfg)
     return sgm_aggregate(vol, cfg, image=left, valid=valid, constrain=constrain)
 
 
@@ -108,3 +138,24 @@ def build_pipeline(cfg: StereoConfig, donate: bool = False):
     fn = functools.partial(compute_disparity, cfg=cfg)
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(fn, donate_argnums=donate_argnums)
+
+
+def host_postprocess(disp, valid, cfg: StereoConfig):
+    """Host-side (numpy) post-filters that map poorly onto XLA.
+
+    Speckle removal (cfg.speckle_max_size > 0) runs as native C++ union-
+    find with a Python fallback (stereo_tpu.native); invalid-pixel
+    occlusion fill is available behind the same call. Applied by the CLI
+    and eval harness after device compute.
+    """
+    import numpy as np
+
+    disp = np.asarray(disp)
+    valid = np.asarray(valid)
+    if cfg.speckle_max_size > 0:
+        from ..native import filter_speckles
+
+        disp, valid, _ = filter_speckles(
+            disp, valid, cfg.speckle_tau, cfg.speckle_max_size
+        )
+    return disp, valid
