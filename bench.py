@@ -37,24 +37,17 @@ def _git_sha() -> str:
 
 
 def time_fn(fn, args, warmup=2, iters=10, min_time=2.0):
-    """Median wall-clock seconds per call (device-synchronized)."""
-    import jax
+    """Seconds per call via chained in-jit iterations.
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    total = 0.0
-    i = 0
-    while i < iters or total < min_time:
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        total += dt
-        i += 1
-        if i > 200:
-            break
-    return float(np.median(times)), times
+    The remote-tunnel TPU backend can report block_until_ready before the
+    device work completes (an early reading here was 16x optimistic);
+    chained_seconds_per_call runs the calls dependently inside one jit and
+    fetches a scalar, which cannot lie (stereo_tpu/utils/timing.py).
+    """
+    from stereo_tpu.utils.timing import chained_seconds_per_call
+
+    sec = chained_seconds_per_call(fn, args, iters=iters)
+    return sec, [sec] * iters
 
 
 def main() -> int:

@@ -44,22 +44,33 @@ from ...config import StereoConfig
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * (1 << 20))
 
 
-def _upd(prev: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
+def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
     """cand - m of the SGM recurrence, vectorized over the D lane axis.
 
-    prev: [..., D] int32. min(prev, prev<<1 + P1, prev>>1 + P1, m + P2) - m
-    with edge-replicated d+-1 shifts (the replica never wins for P1 >= 0,
-    matching the golden lax.scan recurrence).
+    prev: [..., D] int32/f32. min(prev, prev<<1 + P1, prev>>1 + P1,
+    m + P2) - m with edge-replicated d+-1 shifts (the replica never wins
+    for P1 >= 0, matching the golden lax.scan recurrence).
     """
     m = jnp.min(prev, axis=-1, keepdims=True)
-    dn = jnp.concatenate([prev[..., :1], prev[..., :-1]], axis=-1) + p1
-    up = jnp.concatenate([prev[..., 1:], prev[..., -1:]], axis=-1) + p1
+    if use_roll:
+        # Lane rotates + edge fix; candidate alternative to concatenate.
+        d = prev.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
+        dn = jnp.where(lane == 0, prev, pltpu.roll(prev, 1, prev.ndim - 1))
+        up = jnp.where(
+            lane == d - 1, prev, pltpu.roll(prev, -1, prev.ndim - 1)
+        )
+        dn = dn + p1
+        up = up + p1
+    else:
+        dn = jnp.concatenate([prev[..., :1], prev[..., :-1]], axis=-1) + p1
+        up = jnp.concatenate([prev[..., 1:], prev[..., -1:]], axis=-1) + p1
     cand = jnp.minimum(jnp.minimum(prev, m + p2), jnp.minimum(dn, up))
     return cand - m
 
 
 def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
-              xc, reverse, accumulate):
+              xc, reverse, accumulate, ct=jnp.int32, use_roll=False):
     """One horizontal direction over a [XC, BR, D] block of the TRANSPOSED
     (W, H, D) volume.
 
@@ -81,26 +92,29 @@ def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
     def body(i, carry):
         x = (xc - 1 - i) if reverse else i
         gx = chunk * xc + x
-        c = cost_ref[x].astype(jnp.int32)
+        c = cost_ref[x].astype(ct)
         origin = (gx == true_w - 1) if reverse else (gx == 0)
-        l = jnp.where(origin, c, c + _upd(carry, p1, p2))
+        l = jnp.where(origin, c, c + _upd(carry, p1, p2, use_roll))
         if accumulate:
             out_ref[x] = acc_ref[x] + l.astype(dt)
         else:
             out_ref[x] = l.astype(dt)
         return l
 
-    final = jax.lax.fori_loop(0, xc, body, carry_ref[:].astype(jnp.int32))
+    final = jax.lax.fori_loop(0, xc, body, carry_ref[:].astype(ct))
     carry_ref[:] = final.astype(carry_ref.dtype)
 
 
-def _h_no_acc(cost_ref, out_ref, carry_ref, *, p1, p2, true_w, xc, reverse):
+def _h_no_acc(cost_ref, out_ref, carry_ref, *, p1, p2, true_w, xc, reverse,
+              ct=jnp.int32, use_roll=False):
     _h_kernel(cost_ref, None, out_ref, carry_ref, p1=p1, p2=p2,
-              true_w=true_w, xc=xc, reverse=reverse, accumulate=False)
+              true_w=true_w, xc=xc, reverse=reverse, accumulate=False,
+              ct=ct, use_roll=use_roll)
 
 
 def _v_kernel(cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
-              *, p1, p2, true_h, true_w, diag, bh, up):
+              *, p1, p2, true_h, true_w, diag, bh, up, ct=jnp.int32,
+              use_roll=False):
     """T2B + down-right + down-left rows (or the three up paths) for one
     [BH, W, D] row block, accumulated onto acc_ref."""
     pid = pl.program_id(0)
@@ -115,10 +129,10 @@ def _v_kernel(cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
     d2 = d2c_ref[:] if diag else None
     rows = range(bh - 1, -1, -1) if up else range(bh)
     for r in rows:
-        c = cost_ref[r].astype(jnp.int32)
+        c = cost_ref[r].astype(ct)
         grow = block * bh + r
         origin = (grow == true_h - 1) if up else (grow == 0)
-        lv = jnp.where(origin, c, c + _upd(v, p1, p2))
+        lv = jnp.where(origin, c, c + _upd(v, p1, p2, use_roll))
         acc = lv
         if diag:
             # diagonal A: predecessor one pixel to the LEFT in the previous
@@ -127,14 +141,14 @@ def _v_kernel(cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
             d1_sh = jnp.concatenate([d1[:1], d1[:-1]], axis=0)
             l1 = jnp.where(
                 jnp.logical_or(origin, x_iota == 0),
-                c, c + _upd(d1_sh, p1, p2),
+                c, c + _upd(d1_sh, p1, p2, use_roll),
             )
             # diagonal B: predecessor one pixel to the RIGHT; fresh start
             # at the global right edge.
             d2_sh = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
             l2 = jnp.where(
                 jnp.logical_or(origin, x_iota == true_w - 1),
-                c, c + _upd(d2_sh, p1, p2),
+                c, c + _upd(d2_sh, p1, p2, use_roll),
             )
             acc = acc + l1 + l2
             d1, d2 = l1, l2
@@ -150,6 +164,9 @@ def sgm_aggregate_pallas(
     cost: jnp.ndarray,
     cfg: StereoConfig,
     interpret: bool = False,
+    _passes: str = "hv",
+    compute_dtype=jnp.int32,
+    use_roll: bool = False,
 ) -> jnp.ndarray:
     """S(p, d) = sum of 4/8 SGM path costs over four blocked HBM passes.
 
@@ -166,7 +183,11 @@ def sgm_aggregate_pallas(
     if cfg.adaptive_p2:
         raise NotImplementedError("adaptive_p2: use the golden sgm_aggregate")
     h, w, d = cost.shape
-    p1, p2 = int(cfg.p1), int(cfg.p2)
+    ct = compute_dtype
+    if ct == jnp.float32:
+        p1, p2 = float(cfg.p1), float(cfg.p2)
+    else:
+        p1, p2 = int(cfg.p1), int(cfg.p2)
     diag = cfg.num_paths == 8
     dt = cost.dtype
 
@@ -199,11 +220,12 @@ def sgm_aggregate_pallas(
             args.append(acc)
             body = functools.partial(
                 _h_kernel, p1=p1, p2=p2, true_w=w, xc=xc,
-                reverse=reverse, accumulate=True,
+                reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
             )
         else:
             body = functools.partial(
                 _h_no_acc, p1=p1, p2=p2, true_w=w, xc=xc, reverse=reverse,
+                ct=ct, use_roll=use_roll,
             )
         return pl.pallas_call(
             body,
@@ -211,7 +233,7 @@ def sgm_aggregate_pallas(
             in_specs=in_specs,
             out_specs=pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((wp, hp, d), dt),
-            scratch_shapes=[pltpu.VMEM((br, d), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((br, d), ct)],
             input_output_aliases={1: 0} if accumulate else {},
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
@@ -223,11 +245,11 @@ def sgm_aggregate_pallas(
             bh -= 1
         nb = hp // bh
         im = (lambda i: (nb - 1 - i, 0, 0)) if up else (lambda i: (i, 0, 0))
-        carry = lambda: pltpu.VMEM((wp, d), jnp.int32)
+        carry = lambda: pltpu.VMEM((wp, d), ct)
         return pl.pallas_call(
             functools.partial(
                 _v_kernel, p1=p1, p2=p2, true_h=h, true_w=w,
-                diag=diag, bh=bh, up=up,
+                diag=diag, bh=bh, up=up, ct=ct, use_roll=use_roll,
             ),
             grid=(nb,),
             in_specs=[
@@ -242,10 +264,16 @@ def sgm_aggregate_pallas(
             interpret=interpret,
         )(cost, acc)
 
-    cost_whd = jnp.transpose(cost, (1, 0, 2))
-    s_whd = h_call(False, None, cost_whd)
-    s_whd = h_call(True, s_whd, cost_whd)
-    s = jnp.transpose(s_whd, (1, 0, 2))
-    s = v_call(False, s)
-    s = v_call(True, s)
+    # _passes is a profiling knob ("h" / "v" / "hv"); results are only
+    # meaningful SGM sums for the default "hv".
+    if "h" in _passes:
+        cost_whd = jnp.transpose(cost, (1, 0, 2))
+        s_whd = h_call(False, None, cost_whd)
+        s_whd = h_call(True, s_whd, cost_whd)
+        s = jnp.transpose(s_whd, (1, 0, 2))
+    else:
+        s = cost
+    if "v" in _passes:
+        s = v_call(False, s)
+        s = v_call(True, s)
     return s[:h, :w]

@@ -96,11 +96,17 @@ def apply_postprocess(
     cfg: StereoConfig,
     x_offset=0,
     image_width=None,
+    disp_int=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """LR-check + median, per config. Returns (disp, valid)."""
+    """LR-check + median, per config. Returns (disp, valid).
+
+    The LR check compares INTEGER winner disparities (disp_int; falls back
+    to rounding disp) — standard SGM order: consistency before subpixel.
+    """
     if cfg.lr_check and not cfg.lr_exact:
         disp_r = right_disparity_from_volume(s, cfg, x_offset, image_width)
-        valid = valid & lr_consistency(disp, disp_r, cfg, x_offset, image_width)
+        d_l = disp_int if disp_int is not None else jnp.round(disp)
+        valid = valid & lr_consistency(d_l, disp_r, cfg, x_offset, image_width)
     if cfg.median_filter:
         disp = median_3x3(disp)
     return disp, valid

@@ -36,6 +36,16 @@ def wta_disparity(
       disp: [H, W] float32 disparity (integer-valued if subpixel disabled).
       valid: [H, W] bool (False where the uniqueness test rejects).
     """
+    disp, valid, _ = wta_with_aux(s, cfg)
+    return disp, valid
+
+
+def wta_with_aux(
+    s: jnp.ndarray, cfg: StereoConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """wta_disparity plus the integer winner disparity (min_disparity
+    included) — the LR consistency check runs on integer maps (standard
+    SGM: LR precedes subpixel refinement)."""
     d = s.shape[-1]
     big = jnp.iinfo(s.dtype).max
     ds = jnp.arange(d)
@@ -79,4 +89,5 @@ def wta_disparity(
         disp = disp + jnp.where(interior, offset, 0.0)
 
     disp = disp + jnp.float32(cfg.min_disparity)
-    return disp, valid
+    disp_int = (d0 + cfg.min_disparity).astype(jnp.float32)
+    return disp, valid, disp_int

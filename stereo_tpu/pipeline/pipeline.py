@@ -26,6 +26,7 @@ from ..ops import (
     sgm_aggregate,
     wta_disparity,
 )
+from ..ops.wta import wta_with_aux
 
 
 class StereoResult(NamedTuple):
@@ -110,21 +111,25 @@ def compute_disparity(
     s = _aggregate(
         left, right, cfg, valid=valid, constrain=constrain, x_offset=x_offset
     )
-    disp, ok = wta_disparity(s, cfg)
+    disp, ok, d_int = wta_with_aux(s, cfg)
 
     if cfg.lr_check and cfg.lr_exact:
         # Exact right-view pass: match with the right image as reference by
         # flipping both images horizontally and swapping roles, then flip
         # the result back — identical to a dedicated right-reference matcher.
+        # The consistency compare uses INTEGER winners on both sides
+        # (standard SGM: LR precedes subpixel refinement).
         s_r = _aggregate(right[:, ::-1], left[:, ::-1], cfg, constrain=constrain)
-        disp_r, _ = wta_disparity(s_r, cfg)
-        disp_r = disp_r[:, ::-1]
-        ok = ok & lr_consistency(disp, disp_r, cfg, x_offset, image_width)
+        _, _, d_int_r = wta_with_aux(s_r, cfg)
+        disp_r = d_int_r[:, ::-1]
+        ok = ok & lr_consistency(d_int, disp_r, cfg, x_offset, image_width)
         cfg_post = cfg.replace(lr_check=False)
         disp, ok2 = apply_postprocess(disp, ok, s, cfg_post)
         ok = ok & ok2
     else:
-        disp, ok = apply_postprocess(disp, ok, s, cfg, x_offset, image_width)
+        disp, ok = apply_postprocess(
+            disp, ok, s, cfg, x_offset, image_width, disp_int=d_int
+        )
 
     return StereoResult(disp=disp, valid=ok)
 
