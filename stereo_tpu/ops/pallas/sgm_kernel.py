@@ -22,9 +22,11 @@ volume, each shaped to keep the VPU full:
 All passes accumulate into one summed volume via input/output aliasing:
 S traffic is one write + three read-modify-writes regardless of path
 count. Fresh-start masking uses GLOBAL row/column indices, so padding to
-block multiples never leaks into real pixels. Compute runs in int32
-(Mosaic lacks int16 lane reductions); HBM traffic uses the caller's dtype
-(int16 recommended: L <= max_unary_cost + P2 and 8-path sums < 2^15).
+block multiples never leaks into real pixels. Compute runs in
+float32 by default — integer VPU ops measured ~3x slower than f32 on v5e,
+and f32 is exact for these integer-valued costs (|values| < 2^24); HBM
+traffic uses the caller's dtype (int16 recommended: L <= max_unary_cost +
+P2 and 8-path sums < 2^15).
 
 Bit-exact oracle: stereo_tpu.ops.sgm.sgm_aggregate
 (tests/ops/test_pallas_sgm.py).
@@ -44,6 +46,26 @@ from ...config import StereoConfig
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * (1 << 20))
 
 
+def plan_dims(h, w, d):
+    """Shared padding plan for the cost + SGM kernels.
+
+    (br, hp, xc, wp): horizontal-pass row block and padded H; horizontal
+    x-chunk and padded W. W pads to the cost kernel's chunk (max(D, 128))
+    so the cost kernel's transposed output feeds the horizontal passes
+    directly; both are multiples of the SGM x-chunk.
+    """
+    br = 128 if h >= 128 else -(-h // 8) * 8
+    hp = -(-h // br) * br
+    xcc = max(d, 128)
+    if w >= xcc:
+        wp = -(-w // xcc) * xcc
+        xc = 64
+    else:
+        wp = max(-(-w // 8) * 8, d)
+        xc = wp
+    return br, hp, xc, wp
+
+
 def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
     """cand - m of the SGM recurrence, vectorized over the D lane axis.
 
@@ -58,7 +80,7 @@ def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
         lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
         dn = jnp.where(lane == 0, prev, pltpu.roll(prev, 1, prev.ndim - 1))
         up = jnp.where(
-            lane == d - 1, prev, pltpu.roll(prev, -1, prev.ndim - 1)
+            lane == d - 1, prev, pltpu.roll(prev, d - 1, prev.ndim - 1)
         )
         dn = dn + p1
         up = up + p1
@@ -165,7 +187,7 @@ def sgm_aggregate_pallas(
     cfg: StereoConfig,
     interpret: bool = False,
     _passes: str = "hv",
-    compute_dtype=jnp.int32,
+    compute_dtype=jnp.float32,
     use_roll: bool = False,
 ) -> jnp.ndarray:
     """S(p, d) = sum of 4/8 SGM path costs over four blocked HBM passes.
@@ -195,10 +217,7 @@ def sgm_aggregate_pallas(
     # multiple. Horizontal scans never cross rows, and the vertical/
     # diagonal origin masks use true_h/true_w, so padding is pure garbage
     # that gets cropped.
-    br = 128 if h >= 128 else -(-h // 8) * 8
-    hp = -(-h // br) * br
-    xc = 64 if w >= 64 else -(-w // 8) * 8
-    wp = -(-w // xc) * xc
+    br, hp, xc, wp = plan_dims(h, w, d)
     if (hp, wp) != (h, w):
         cost = jnp.pad(cost, ((0, hp - h), (0, wp - w), (0, 0)))
     grid_h = (hp // br, wp // xc)
@@ -277,3 +296,301 @@ def sgm_aggregate_pallas(
         s = v_call(False, s)
         s = v_call(True, s)
     return s[:h, :w]
+
+
+def _epilogue_shift(mat, base_shift, wp, interpret, sign=1):
+    """out[x, d] = mat[(x - base_shift - sign * d) mod wp, d].
+
+    Compiled path: the per-lane sublane shift decomposes into log2(D)
+    STATIC sublane rotates gated by the lane index bits (Mosaic supports
+    neither strided rotates over the minor axis nor gathers). Interpret
+    mode uses a take_along_axis gather (CPU tests only).
+    """
+    d = mat.shape[1]
+    if interpret:
+        x = jax.lax.broadcasted_iota(jnp.int32, (wp, d), 0)
+        l = jax.lax.broadcasted_iota(jnp.int32, (wp, d), 1)
+        idx = (x - base_shift - sign * l) % wp
+        return jnp.take_along_axis(mat, idx, axis=0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (wp, d), 1)
+    base = base_shift % wp
+    if base:
+        # constant part: out[x] = mat[x - base_shift]
+        mat = jnp.concatenate([mat[-base:], mat[:-base]], axis=0)
+    k = 0
+    while (1 << k) < d:
+        sh = 1 << k
+        if sign > 0:
+            rolled = jnp.concatenate([mat[-sh:], mat[:-sh]], axis=0)
+        else:
+            rolled = jnp.concatenate([mat[sh:], mat[:sh]], axis=0)
+        mat = jnp.where((lane & sh) != 0, rolled, mat)
+        k += 1
+    return mat
+
+
+def _v_fused_kernel(cost_ref, acc_ref, disp_ref, valid_ref,
+                    vc_ref, d1c_ref, d2c_ref,
+                    *, p1, p2, true_h, true_w, diag, bh, ct, use_roll, cfg,
+                    interpret):
+    """Bottom-up vertical pass + FULL selection epilogue, never writing S.
+
+    Per row, after summing the up paths onto the forward accumulator:
+    WTA argmin, parabola subpixel, uniqueness gate, right-view WTA via a
+    strided-roll anti-diagonal restack (S_R(x,d) = S(x+d,d)), and the
+    integer LR consistency check — all lane reductions and rolls, no
+    gathers. Reduction results are naturally [W, 1] columns; the block's
+    columns are collected and transposed once into a row-major [BH, W]
+    output tile.
+    """
+    pid = pl.program_id(0)
+    nb = pl.num_programs(0)
+    w, d = vc_ref.shape
+    block = nb - 1 - pid
+
+    BIG = jnp.float32(3e38)
+    md = int(cfg.min_disparity)
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (w, d), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (w, d), 1)
+
+    v = vc_ref[:]
+    d1 = d1c_ref[:] if diag else None
+    d2 = d2c_ref[:] if diag else None
+    disp_cols = [None] * bh
+    valid_cols = [None] * bh
+    for r in range(bh - 1, -1, -1):
+        c = cost_ref[r].astype(ct)
+        grow = block * bh + r
+        origin = grow == true_h - 1
+        lv = jnp.where(origin, c, c + _upd(v, p1, p2, use_roll))
+        acc = lv
+        if diag:
+            d1_sh = jnp.concatenate([d1[:1], d1[:-1]], axis=0)
+            l1 = jnp.where(
+                jnp.logical_or(origin, x_iota == 0),
+                c, c + _upd(d1_sh, p1, p2, use_roll),
+            )
+            d2_sh = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
+            l2 = jnp.where(
+                jnp.logical_or(origin, x_iota == true_w - 1),
+                c, c + _upd(d2_sh, p1, p2, use_roll),
+            )
+            acc = acc + l1 + l2
+            d1, d2 = l1, l2
+        v = lv
+
+        s_row = acc_ref[r].astype(jnp.float32) + acc.astype(jnp.float32)
+
+        # --- WTA + subpixel + uniqueness (lane reductions) ---
+        c0 = jnp.min(s_row, axis=1, keepdims=True)                 # [W,1]
+        d0 = jnp.min(
+            jnp.where(s_row == c0, lane, d), axis=1, keepdims=True
+        )                                                          # [W,1]
+        ok = jnp.ones((w, 1), dtype=jnp.int32)
+        if cfg.uniqueness_ratio > 0:
+            near = jnp.abs(lane - d0) <= 1
+            c2 = jnp.min(jnp.where(near, BIG, s_row), axis=1, keepdims=True)
+            ok = ok * (c2 > c0 * (1.0 + cfg.uniqueness_ratio)).astype(
+                jnp.int32
+            )
+        disp_row = d0.astype(jnp.float32)
+        if cfg.subpixel and d > 1:
+            cm = jnp.min(
+                jnp.where(lane == d0 - 1, s_row, BIG), axis=1, keepdims=True
+            )
+            cp = jnp.min(
+                jnp.where(lane == d0 + 1, s_row, BIG), axis=1, keepdims=True
+            )
+            denom = cp + cm - 2.0 * c0
+            offset = jnp.where(
+                denom > 0, (cm - cp) / (2.0 * jnp.maximum(denom, 1.0)), 0.0
+            )
+            offset = jnp.clip(offset, -0.5, 0.5)
+            interior = (d0 > 0) & (d0 < d - 1)
+            disp_row = disp_row + jnp.where(interior, offset, 0.0)
+        disp_row = disp_row + jnp.float32(md)
+
+        if cfg.lr_check:
+            # Right-view volume: S_R(x, d) = S(x + d, d) — one strided
+            # sublane roll; out-of-frame samples masked huge.
+            s_r = _epilogue_shift(s_row, 0, w, interpret, sign=-1)
+            s_r = jnp.where(x_iota + lane >= true_w, BIG, s_r)
+            mr = jnp.min(s_r, axis=1, keepdims=True)
+            d_r = jnp.min(
+                jnp.where(s_r == mr, lane, d), axis=1, keepdims=True
+            )                                                      # [W,1]
+            # A[x, d] = d_R(x - md - d); compare at the winner lane.
+            a = _epilogue_shift(
+                jnp.broadcast_to(d_r, (w, d)), md, w, interpret
+            )
+            diff_w = jnp.min(
+                jnp.where(lane == d0, jnp.abs(d0 - a), 10**6),
+                axis=1, keepdims=True,
+            )
+            in_frame = (x_iota[:, :1] - d0 - md) >= 0
+            ok = ok * (
+                (diff_w <= cfg.lr_tau) & in_frame
+            ).astype(jnp.int32)
+
+        disp_cols[r] = disp_row
+        valid_cols[r] = ok
+    vc_ref[:] = v
+    if diag:
+        d1c_ref[:] = d1
+        d2c_ref[:] = d2
+    # Collected [W, 1] reduction columns -> one [BH, W] row-major block
+    # (output blocks must keep >=8x128-tileable trailing dims).
+    disp_ref[:] = jnp.concatenate(disp_cols, axis=1).T
+    valid_ref[:] = jnp.concatenate(valid_cols, axis=1).T
+
+
+def sgm_wta_fused_pallas(
+    cost: jnp.ndarray,
+    cfg: StereoConfig,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+    cost_whd=None,
+    true_shape=None,
+):
+    """SGM + WTA + subpixel + uniqueness + LR-check, S never materialized
+    in its final form.
+
+    Runs the two horizontal passes and the downward vertical pass exactly
+    like sgm_aggregate_pallas, then the fused bottom-up kernel emits
+    (disp, valid) directly — removing the separate WTA sweep, the
+    right-view re-index pass, AND the final 119 MB S write.
+
+    Returns (disp [H, W] float32, valid [H, W] bool), matching the golden
+    wta + integer-LR postprocess pipeline bit-exactly.
+    """
+    if cfg.num_paths == 0 or cfg.adaptive_p2:
+        raise NotImplementedError("fused path requires SGM without adaptive P2")
+    h, w = true_shape if true_shape is not None else cost.shape[:2]
+    d = cost.shape[2]
+    ct = compute_dtype
+    use_roll = False
+    if ct == jnp.float32:
+        p1, p2 = float(cfg.p1), float(cfg.p2)
+    else:
+        p1, p2 = int(cfg.p1), int(cfg.p2)
+    diag = cfg.num_paths == 8
+    dt = cost.dtype
+
+    br, hp, xc, wp = plan_dims(h, w, d)
+    if cost.shape[:2] == (h, w) and (hp, wp) != (h, w):
+        cost = jnp.pad(cost, ((0, hp - h), (0, wp - w), (0, 0)))
+    if cost.shape[:2] != (hp, wp):
+        raise ValueError(
+            f"cost shape {cost.shape} matches neither true {(h, w)} nor "
+            f"padded {(hp, wp)} extents"
+        )
+    grid_h = (hp // br, wp // xc)
+
+    def h_call(reverse, acc, cost_whd):
+        accumulate = acc is not None
+        im = (
+            (lambda i, j: (grid_h[1] - 1 - j, i, 0))
+            if reverse
+            else (lambda i, j: (j, i, 0))
+        )
+        in_specs = [pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM)]
+        args = [cost_whd]
+        if accumulate:
+            in_specs.append(
+                pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM)
+            )
+            args.append(acc)
+            body = functools.partial(
+                _h_kernel, p1=p1, p2=p2, true_w=w, xc=xc,
+                reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
+            )
+        else:
+            body = functools.partial(
+                _h_no_acc, p1=p1, p2=p2, true_w=w, xc=xc, reverse=reverse,
+                ct=ct, use_roll=use_roll,
+            )
+        return pl.pallas_call(
+            body,
+            grid=grid_h,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((wp, hp, d), dt),
+            scratch_shapes=[pltpu.VMEM((br, d), ct)],
+            input_output_aliases={1: 0} if accumulate else {},
+            compiler_params=_VMEM_PARAMS,
+            interpret=interpret,
+        )(*args)
+
+    bh = max(1, min(8, (2 << 20) // (wp * d * dt.itemsize)))
+    while hp % bh:
+        bh -= 1
+    nb = hp // bh
+
+    def v_down(acc):
+        im = lambda i: (i, 0, 0)
+        carry = lambda: pltpu.VMEM((wp, d), ct)
+        return pl.pallas_call(
+            functools.partial(
+                _v_kernel, p1=p1, p2=p2, true_h=h, true_w=w,
+                diag=diag, bh=bh, up=False, ct=ct, use_roll=use_roll,
+            ),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
+                pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
+            scratch_shapes=[carry(), carry(), carry()],
+            input_output_aliases={1: 0},
+            compiler_params=_VMEM_PARAMS,
+            interpret=interpret,
+        )(cost, acc)
+
+    def v_up_fused(acc):
+        # bh is forced to 8 here: the 2D output blocks [BH, W] need an
+        # 8-divisible second-to-last dim (hp is a multiple of 8 by plan).
+        bhf = 8 if hp % 8 == 0 else 1
+        nbf = hp // bhf
+        im3 = lambda i: (nbf - 1 - i, 0, 0)
+        im2 = lambda i: (nbf - 1 - i, 0)
+        carry = lambda: pltpu.VMEM((wp, d), ct)
+        return pl.pallas_call(
+            functools.partial(
+                _v_fused_kernel, p1=p1, p2=p2, true_h=h, true_w=w,
+                diag=diag, bh=bhf, ct=ct, use_roll=use_roll, cfg=cfg,
+                interpret=interpret,
+            ),
+            grid=(nbf,),
+            in_specs=[
+                pl.BlockSpec((bhf, wp, d), im3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhf, wp, d), im3, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            ],
+            scratch_shapes=[carry(), carry(), carry()],
+            compiler_params=_VMEM_PARAMS,
+            interpret=interpret,
+        )(cost, acc)
+
+    if cost_whd is None:
+        cost_whd = jnp.transpose(cost, (1, 0, 2))
+    elif cost_whd.shape != (wp, hp, d):
+        raise ValueError(
+            f"cost_whd shape {cost_whd.shape} != padded {(wp, hp, d)}"
+        )
+    s_acc = h_call(False, None, cost_whd)
+    s_acc = h_call(True, s_acc, cost_whd)
+    s_acc = jnp.transpose(s_acc, (1, 0, 2))
+    s_acc = v_down(s_acc)
+    disp_o, valid_o = v_up_fused(s_acc)
+    disp = disp_o[:h, :w]
+    valid = valid_o[:h, :w].astype(bool)
+    return disp, valid

@@ -36,7 +36,11 @@ def right_disparity_from_volume(
     h, w, d = s.shape
     if image_width is None:
         image_width = w
-    big = jnp.iinfo(s.dtype).max // 2
+    big = (
+        jnp.iinfo(s.dtype).max // 2
+        if jnp.issubdtype(s.dtype, jnp.integer)
+        else jnp.float32(1e38)
+    )
 
     # Per-disparity shift instead of a 3D gather: XLA lowers the vmapped
     # 1-D take to cheap slices, whereas a [H, W, D] take_along_axis gather
@@ -79,14 +83,28 @@ def lr_consistency(
 
 
 def median_3x3(disp: jnp.ndarray) -> jnp.ndarray:
-    """3x3 median filter via a sort over the 9 shifted maps (edge-padded)."""
+    """3x3 median filter over the 9 shifted maps (edge-padded).
+
+    Uses the fixed 19-comparator median-of-9 exchange network (Paeth) —
+    pure elementwise min/max on the VPU; a generic jnp.sort over a
+    stacked axis measured ~10x slower on TPU.
+    """
     p = jnp.pad(disp, ((1, 1), (1, 1)), mode="edge")
     h, w = disp.shape
-    stack = jnp.stack(
-        [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)],
-        axis=-1,
-    )
-    return jnp.sort(stack, axis=-1)[..., 4]
+    v = [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+
+    def sort2(i, j):
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+
+    for i, j in (
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ):
+        sort2(i, j)
+    return v[4]
 
 
 def apply_postprocess(

@@ -47,7 +47,11 @@ def wta_with_aux(
     included) — the LR consistency check runs on integer maps (standard
     SGM: LR precedes subpixel refinement)."""
     d = s.shape[-1]
-    big = jnp.iinfo(s.dtype).max
+    big = (
+        jnp.iinfo(s.dtype).max
+        if jnp.issubdtype(s.dtype, jnp.integer)
+        else jnp.float32(3e38)
+    )
     ds = jnp.arange(d)
 
     c0 = jnp.min(s, axis=-1)                                   # winner cost

@@ -23,6 +23,7 @@ from ..ops import (
     apply_postprocess,
     cost_volume,
     lr_consistency,
+    median_3x3,
     sgm_aggregate,
     wta_disparity,
 )
@@ -76,7 +77,15 @@ def _aggregate(
 
         # int16 halves SGM's HBM traffic; bounds hold for census and the
         # 0..255-normalized SAD (L <= max_unary_cost + P2, 8*L < 2^15).
-        return sgm_aggregate_pallas(vol.astype(jnp.int16), cfg)
+        # Downstream reductions consume S as f32 (integer VPU ops are ~3x
+        # slower on v5e; the cast fuses into the WTA/LR sweeps and values
+        # stay exact below 2^24).
+        s16 = sgm_aggregate_pallas(vol.astype(jnp.int16), cfg)
+        return s16.astype(jnp.float32)
+    if jax.default_backend() == "tpu":
+        # Same f32 speedup for the golden path (tiled/constrained/adaptive
+        # modes); f32 is exact for these integer-valued costs.
+        vol = vol.astype(jnp.float32)
     return sgm_aggregate(vol, cfg, image=left, valid=valid, constrain=constrain)
 
 
@@ -108,6 +117,30 @@ def compute_disparity(
             "expected matching [H, W] rectified images, got "
             f"left {left.shape} vs right {right.shape}"
         )
+
+    if _use_pallas(cfg, valid, constrain) and not cfg.lr_exact:
+        # Fully fused fast path: SGM + WTA + subpixel + uniqueness +
+        # LR-check inside the final Pallas pass; the summed volume is never
+        # materialized in its final form (BASELINE.json:5). Bit-exact vs
+        # the staged golden path (tests/ops/test_pallas_fused.py).
+        from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
+
+        if cfg.cost_fn == "census" and cfg.census_words == 1 and x_offset == 0:
+            # Pallas cost kernel emits both volume layouts (the transposed
+            # copy feeds the horizontal SGM passes directly).
+            from ..ops.pallas.cost_kernel import census_cost_volume_pallas
+
+            vol, vol_whd = census_cost_volume_pallas(left, right, cfg)
+            disp, ok = sgm_wta_fused_pallas(
+                vol, cfg, cost_whd=vol_whd, true_shape=left.shape
+            )
+        else:
+            vol = cost_volume(left, right, cfg, x_offset=x_offset)
+            disp, ok = sgm_wta_fused_pallas(vol.astype(jnp.int16), cfg)
+        if cfg.median_filter:
+            disp = median_3x3(disp)
+        return StereoResult(disp=disp, valid=ok)
+
     s = _aggregate(
         left, right, cfg, valid=valid, constrain=constrain, x_offset=x_offset
     )

@@ -1,0 +1,31 @@
+"""Pallas census cost-volume kernel vs the golden jnp implementation."""
+
+import numpy as np
+import pytest
+
+from stereo_tpu.config import StereoConfig
+from stereo_tpu.ops import census_cost_volume
+from stereo_tpu.ops.pallas.cost_kernel import census_cost_volume_pallas
+
+
+@pytest.mark.parametrize("shape,d", [((16, 40), 16), ((21, 50), 8), ((24, 160), 128)])
+def test_cost_kernel_matches_golden(shape, d):
+    rng = np.random.default_rng(d)
+    left = rng.integers(0, 256, size=shape).astype(np.uint8)
+    right = rng.integers(0, 256, size=shape).astype(np.uint8)
+    cfg = StereoConfig(cost_fn="census", census_window=(5, 5), num_disparities=d)
+    cost_p, cost_t = census_cost_volume_pallas(left, right, cfg, interpret=True)
+    want = np.array(census_cost_volume(left, right, cfg))
+    h, w = shape
+    got = np.array(cost_p)[:h, :w]
+    np.testing.assert_array_equal(got, want)
+    # transposed copy agrees on the real extent
+    got_t = np.array(cost_t)[:w, :h].transpose(1, 0, 2)
+    np.testing.assert_array_equal(got_t, want)
+
+
+def test_cost_kernel_rejects_multiword():
+    cfg = StereoConfig(cost_fn="census", census_window=(9, 7), num_disparities=8)
+    z = np.zeros((8, 16), np.uint8)
+    with pytest.raises(NotImplementedError):
+        census_cost_volume_pallas(z, z, cfg, interpret=True)
