@@ -95,6 +95,13 @@ def main() -> int:
         np.asarray(res.valid),
     )
 
+    # Roofline estimate: the SGM hot path streams the int16 volume
+    # (2 cost-kernel writes + 4 cost reads + 1 S write + 2 S RMW + 1 read,
+    # ~= 10 volume sweeps); memory-bound speed-of-light derives from HBM
+    # bandwidth (SURVEY.md §5 tracing note). v5e peak ~= 819 GB/s.
+    vol_bytes = shape[0] * shape[1] * cfg.num_disparities * 2
+    est_bytes = 10 * vol_bytes
+    achieved_gbps = est_bytes / sec / 1e9
     device = str(jax.devices()[0])
     record = {
         "metric": f"{args.preset}_fps_per_chip",
@@ -109,6 +116,8 @@ def main() -> int:
         "bad3": round(quality["bad3"], 5),
         "epe": round(quality["epe"], 5),
         "density": round(quality["density"], 5),
+        "achieved_gbps_est": round(achieved_gbps, 1),
+        "sol_fraction_819gbps": round(achieved_gbps / 819.0, 3),
         "device": device,
         "backend": jax.default_backend(),
         "git_sha": _git_sha(),

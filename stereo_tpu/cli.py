@@ -154,6 +154,16 @@ def cmd_run(args) -> int:
             file=sys.stderr,
         )
 
+    if args.dump_volume:
+        # Kernel-debugging aid (SURVEY.md §5 checkpoint/resume: optional
+        # cost-volume dump): the aggregated volume from the golden path.
+        from .ops import cost_volume, sgm_aggregate
+
+        vol = cost_volume(pair.left, pair.right, cfg)
+        s_vol = sgm_aggregate(vol, cfg, image=pair.left)
+        np.save(args.dump_volume, np.asarray(s_vol))
+        print(f"wrote {args.dump_volume}", file=sys.stderr)
+
     from .pipeline.pipeline import host_postprocess
 
     disp, valid = host_postprocess(res.disp, res.valid, cfg)
@@ -306,6 +316,8 @@ def main(argv=None) -> int:
     p.add_argument("--tiles", help="halo-tiled run over ty,tx devices")
     p.add_argument("--exact-mesh", help="exact reshard mode over ty,tx")
     p.add_argument("--profile", help="dump a jax.profiler trace directory")
+    p.add_argument("--dump-volume", metavar="NPY",
+                   help="save the aggregated cost volume (debug, golden path)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("eval")

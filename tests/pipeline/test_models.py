@@ -1,0 +1,67 @@
+"""Model-zoo tests: every family builds, runs, and meets quality gates."""
+
+import numpy as np
+import pytest
+
+from stereo_tpu import StereoConfig
+from stereo_tpu.data import make_pair
+from stereo_tpu.eval import evaluate_disparity
+from stereo_tpu.models import MODELS, get_model
+
+
+CFG = StereoConfig(cost_fn="census", num_disparities=32, num_paths=4)
+
+
+def _quality(model, pair):
+    fn = model.build()
+    res = fn(pair.left, pair.right)
+    return evaluate_disparity(
+        np.array(res.disp), pair.gt_disp, pair.gt_valid, np.array(res.valid)
+    )
+
+
+def test_registry_lists_all():
+    assert set(MODELS) == {"classic", "block_matching", "pyramid"}
+
+
+def test_classic_model():
+    pair = make_pair((96, 160), max_disp=24, kind="shapes", seed=0)
+    m = _quality(get_model("classic", cfg=CFG), pair)
+    assert m["bad3"] < 0.02, m
+
+
+def test_block_matching_model():
+    pair = make_pair((96, 160), max_disp=24, kind="shapes", seed=1)
+    cfg = StereoConfig(cost_fn="sad", num_disparities=32, subpixel=False)
+    m = _quality(get_model("block_matching", cfg=cfg), pair)
+    assert m["bad3"] < 0.05, m
+
+
+def test_pyramid_model_quality():
+    # The pyramid family trades accuracy at discontinuities for ~D/R less
+    # work (see models/pyramid.py); the gate reflects that documented trade
+    # on this discontinuity-heavy synthetic scene.
+    pair = make_pair((96, 160), max_disp=24, kind="shapes", seed=2)
+    m = _quality(get_model("pyramid", cfg=CFG, residual_range=16), pair)
+    assert m["bad3"] < 0.10, m
+    assert m["density"] > 0.85, m
+
+
+def test_pyramid_smooth_scene_near_exact():
+    """On smooth disparity fields the pyramid matches classic closely."""
+    pair = make_pair((96, 160), max_disp=24, kind="slant", seed=9)
+    m = _quality(get_model("pyramid", cfg=CFG, residual_range=16), pair)
+    assert m["bad3"] < 0.01, m
+
+
+def test_pyramid_tracks_classic():
+    """Pyramid must stay within a few x of classic's error on easy scenes."""
+    pair = make_pair((96, 160), max_disp=20, kind="steps", seed=3)
+    mc = _quality(get_model("classic", cfg=CFG), pair)
+    mp = _quality(get_model("pyramid", cfg=CFG), pair)
+    assert mp["bad3"] <= max(0.05, 6 * mc["bad3"] + 0.02), (mc, mp)
+
+
+def test_model_describe():
+    d = get_model("pyramid", cfg=CFG).describe()
+    assert d["model"] == "pyramid" and d["D"] == 32
