@@ -57,7 +57,7 @@ def main() -> int:
     ap.add_argument("--preset", default="kitti_sgm8_128")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--all", action="store_true",
-                    help="also bench secondary configs to results.jsonl")
+                    help="also bench secondary configs/models to results.jsonl")
     args = ap.parse_args()
 
     if args.quick:
@@ -130,6 +130,9 @@ def main() -> int:
     with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
         f.write(json.dumps(record) + "\n")
 
+    if args.all:
+        _bench_secondary(jax, out_dir, record["git_sha"], quick=args.quick)
+
     # Driver contract: exactly one JSON line on stdout.
     print(json.dumps({
         "metric": record["metric"],
@@ -138,6 +141,56 @@ def main() -> int:
         "vs_baseline": record["vs_baseline"],
     }))
     return 0
+
+
+def _bench_secondary(jax, out_dir, sha, quick=False):
+    """Configs 1/2 + model families; appended to results.jsonl (stderr log)."""
+    import numpy as np
+
+    from stereo_tpu import PRESETS
+    from stereo_tpu.data import make_pair
+    from stereo_tpu.eval import evaluate_disparity
+    from stereo_tpu.models import get_model
+    from stereo_tpu.utils.timing import chained_seconds_per_call
+
+    runs = [
+        ("tsukuba_sad16", "classic", (288, 384), 14, {}),
+        ("middlebury_census_sgm4_64", "classic", (555, 900), 48, {}),
+        ("kitti_sgm8_128", "pyramid", (375, 1242), 96, {}),
+    ]
+    if quick:
+        runs = [(p_, m_, (96, 160), 12, {"num_disparities": 16})
+                for (p_, m_, _, _, _) in runs]
+    for preset, model_name, shape, max_disp, overrides in runs:
+        cfg = PRESETS[preset].replace(**overrides) if overrides else PRESETS[preset]
+        pair = make_pair(shape, max_disp=max_disp, kind="shapes",
+                         texture="cloud", seed=0)
+        model = get_model(model_name, cfg=cfg)
+        fn = model.build()
+        sec = chained_seconds_per_call(
+            lambda l, r: fn(l, r), (pair.left, pair.right), iters=10
+        )
+        res = fn(pair.left, pair.right)
+        q = evaluate_disparity(
+            np.asarray(res.disp), pair.gt_disp, pair.gt_valid,
+            np.asarray(res.valid),
+        )
+        rec = {
+            "metric": f"{preset}+{model_name}_fps_per_chip",
+            "value": round(1.0 / sec, 3),
+            "unit": "fps",
+            "shape": list(shape),
+            "sec_per_frame": round(sec, 6),
+            "bad3": round(q["bad3"], 5),
+            "epe": round(q["epe"], 5),
+            "density": round(q["density"], 5),
+            "device": str(jax.devices()[0]),
+            "git_sha": sha,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), file=sys.stderr)
 
 
 if __name__ == "__main__":

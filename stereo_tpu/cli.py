@@ -130,6 +130,10 @@ def cmd_run(args) -> int:
         ty, tx = (int(v) for v in args.exact_mesh.split(","))
         mesh = make_tile_mesh(jax.devices()[: ty * tx], mesh_shape=(ty, tx))
         fn = build_exact_pipeline(cfg, mesh)
+    elif args.model != "classic":
+        from .models import get_model
+
+        fn = get_model(args.model, cfg=cfg).build()
     else:
         fn = build_pipeline(cfg)
 
@@ -222,6 +226,7 @@ def cmd_eval(args) -> int:
         results_path=args.results,
         manifest_path=args.manifest,
         artifacts_dir=args.artifacts,
+        model=args.model,
     )
     summary = harness.run(pairs())
     print(json.dumps(summary))
@@ -269,6 +274,30 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_scale(args) -> int:
+    import json as _json
+
+    from .eval.scaling import scaling_report
+
+    cfg = _cfg_from_args(args)
+    counts = (
+        [int(v) for v in args.devices.split(",")] if args.devices else None
+    )
+    ty, tx = (
+        (int(v) for v in args.tiles.split(",")) if args.tiles else (1, 1)
+    )
+    rows = scaling_report(
+        cfg,
+        image_shape=tuple(args.demo_shape),
+        device_counts=counts,
+        tiles_per_device=(ty, tx) if args.tiles else (1, 1),
+        iters=args.iters,
+    )
+    for r in rows:
+        print(_json.dumps(r))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from .data.synthetic import make_pair
     from .pipeline.pipeline import build_pipeline
@@ -297,6 +326,8 @@ def main(argv=None) -> int:
     def add_common(p):
         p.add_argument("--preset", default="kitti_sgm8_128")
         p.add_argument("--set", action="append", metavar="KEY=VALUE")
+        p.add_argument("--model", default="classic",
+                       choices=["classic", "block_matching", "pyramid"])
 
     p = sub.add_parser("info")
     p.set_defaults(fn=cmd_info)
@@ -340,6 +371,14 @@ def main(argv=None) -> int:
     p.add_argument("--tiles", help="ty,tx tile mesh per frame")
     p.add_argument("--manifest", help="stream resume manifest")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("scale")
+    add_common(p)
+    p.add_argument("--devices", help="comma list of device counts")
+    p.add_argument("--tiles", help="ty,tx tiles per frame")
+    p.add_argument("--demo-shape", type=int, nargs=2, default=(375, 1242))
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=cmd_scale)
 
     p = sub.add_parser("bench")
     add_common(p)

@@ -41,8 +41,10 @@ class EvalHarness:
         results_path: Optional[str] = None,
         manifest_path: Optional[str] = None,
         artifacts_dir: Optional[str] = None,
+        model: str = "classic",
     ):
         self.cfg = cfg
+        self.model = model
         self.results_path = results_path
         self.manifest_path = manifest_path
         self.artifacts_dir = artifacts_dir
@@ -54,7 +56,14 @@ class EvalHarness:
 
     def _pipeline_for(self, shape):
         if shape not in self._fn_cache:
-            self._fn_cache[shape] = build_pipeline(self.cfg)
+            if self.model != "classic":
+                from ..models import get_model
+
+                self._fn_cache[shape] = get_model(
+                    self.model, cfg=self.cfg
+                ).build()
+            else:
+                self._fn_cache[shape] = build_pipeline(self.cfg)
         return self._fn_cache[shape]
 
     def _checkpoint(self):
@@ -87,6 +96,7 @@ class EvalHarness:
                 "git_sha": _git_sha(),
                 "device": str(jax.devices()[0]),
                 "config": {
+                    "model": self.model,
                     "cost_fn": self.cfg.cost_fn,
                     "D": self.cfg.num_disparities,
                     "paths": self.cfg.num_paths,

@@ -92,7 +92,8 @@ def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
 
 
 def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
-              xc, reverse, accumulate, ct=jnp.int32, use_roll=False):
+              xc, reverse, accumulate, ct=jnp.int32, use_roll=False,
+              out_hwd=False):
     """One horizontal direction over a [XC, BR, D] block of the TRANSPOSED
     (W, H, D) volume.
 
@@ -100,6 +101,11 @@ def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
     dynamically indexed single sublane (cost[:, x, :]) from a tiled dim, so
     the wrapper hands this kernel the volume transposed to (W, H, D) and
     the scan is plain cost_ref[x].
+
+    With out_hwd=True the x loop is UNROLLED and the XC result slabs are
+    concatenated into one [BR, XC, D] write — emitting the accumulator
+    directly in (H, W, D) layout for the vertical passes, which removes
+    the XLA transpose between pass families (~2.4 ms at KITTI scale).
 
     Grid = (row_blocks, x_chunks) with the chunk axis minor; chunks sweep
     left-to-right (right-to-left when reverse, via the index_map).
@@ -110,6 +116,25 @@ def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
     nj = pl.num_programs(1)
     dt = out_ref.dtype
     chunk = (nj - 1 - j) if reverse else j
+
+    if out_hwd:
+        carry = carry_ref[:].astype(ct)
+        slabs = [None] * xc
+        xs = range(xc - 1, -1, -1) if reverse else range(xc)
+        for x in xs:
+            gx = chunk * xc + x
+            c = cost_ref[x].astype(ct)
+            origin = (gx == true_w - 1) if reverse else (gx == 0)
+            l = jnp.where(origin, c, c + _upd(carry, p1, p2, use_roll))
+            slabs[x] = l.astype(dt)[:, None, :]        # [BR, 1, D]
+            carry = l
+        carry_ref[:] = carry.astype(carry_ref.dtype)
+        block = jnp.concatenate(slabs, axis=1)         # [BR, XC, D]
+        if accumulate:
+            out_ref[:] = acc_ref[:] + block
+        else:
+            out_ref[:] = block
+        return
 
     def body(i, carry):
         x = (xc - 1 - i) if reverse else i
@@ -128,10 +153,10 @@ def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
 
 
 def _h_no_acc(cost_ref, out_ref, carry_ref, *, p1, p2, true_w, xc, reverse,
-              ct=jnp.int32, use_roll=False):
+              ct=jnp.int32, use_roll=False, out_hwd=False):
     _h_kernel(cost_ref, None, out_ref, carry_ref, p1=p1, p2=p2,
               true_w=true_w, xc=xc, reverse=reverse, accumulate=False,
-              ct=ct, use_roll=use_roll)
+              ct=ct, use_roll=use_roll, out_hwd=out_hwd)
 
 
 def _v_kernel(cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
@@ -223,35 +248,46 @@ def sgm_aggregate_pallas(
     grid_h = (hp // br, wp // xc)
 
     def h_call(reverse, acc, cost_whd):
-        # Blocks are [XC, BR, D] slices of the transposed (W, H, D) volume.
         accumulate = acc is not None
-        im = (
+        # Input blocks are [XC, BR, D] slices of the transposed (W, H, D)
+        # volume (the scan axis must be untiled); OUTPUT blocks are
+        # [BR, XC, D] slices of the (H, W, D) accumulator — the unrolled
+        # kernel assembles them directly, so no transpose sits between the
+        # horizontal and vertical pass families.
+        im_in = (
             (lambda i, j: (grid_h[1] - 1 - j, i, 0))
             if reverse
             else (lambda i, j: (j, i, 0))
         )
-        in_specs = [pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM)]
+        im_out = (
+            (lambda i, j: (i, grid_h[1] - 1 - j, 0))
+            if reverse
+            else (lambda i, j: (i, j, 0))
+        )
+        in_specs = [pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM)]
         args = [cost_whd]
         if accumulate:
             in_specs.append(
-                pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM)
+                pl.BlockSpec((br, xc, d), im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
             body = functools.partial(
                 _h_kernel, p1=p1, p2=p2, true_w=w, xc=xc,
                 reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
+                out_hwd=True,
             )
         else:
             body = functools.partial(
                 _h_no_acc, p1=p1, p2=p2, true_w=w, xc=xc, reverse=reverse,
-                ct=ct, use_roll=use_roll,
+                ct=ct, use_roll=use_roll, out_hwd=True,
             )
         return pl.pallas_call(
             body,
             grid=grid_h,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((wp, hp, d), dt),
+            out_specs=pl.BlockSpec((br, xc, d), im_out,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
             scratch_shapes=[pltpu.VMEM((br, d), ct)],
             input_output_aliases={1: 0} if accumulate else {},
             compiler_params=_VMEM_PARAMS,
@@ -287,9 +323,8 @@ def sgm_aggregate_pallas(
     # meaningful SGM sums for the default "hv".
     if "h" in _passes:
         cost_whd = jnp.transpose(cost, (1, 0, 2))
-        s_whd = h_call(False, None, cost_whd)
-        s_whd = h_call(True, s_whd, cost_whd)
-        s = jnp.transpose(s_whd, (1, 0, 2))
+        s = h_call(False, None, cost_whd)
+        s = h_call(True, s, cost_whd)
     else:
         s = cost
     if "v" in _passes:
@@ -489,33 +524,45 @@ def sgm_wta_fused_pallas(
 
     def h_call(reverse, acc, cost_whd):
         accumulate = acc is not None
-        im = (
+        # Input blocks are [XC, BR, D] slices of the transposed (W, H, D)
+        # volume (the scan axis must be untiled); OUTPUT blocks are
+        # [BR, XC, D] slices of the (H, W, D) accumulator — the unrolled
+        # kernel assembles them directly, so no transpose sits between the
+        # horizontal and vertical pass families.
+        im_in = (
             (lambda i, j: (grid_h[1] - 1 - j, i, 0))
             if reverse
             else (lambda i, j: (j, i, 0))
         )
-        in_specs = [pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM)]
+        im_out = (
+            (lambda i, j: (i, grid_h[1] - 1 - j, 0))
+            if reverse
+            else (lambda i, j: (i, j, 0))
+        )
+        in_specs = [pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM)]
         args = [cost_whd]
         if accumulate:
             in_specs.append(
-                pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM)
+                pl.BlockSpec((br, xc, d), im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
             body = functools.partial(
                 _h_kernel, p1=p1, p2=p2, true_w=w, xc=xc,
                 reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
+                out_hwd=True,
             )
         else:
             body = functools.partial(
                 _h_no_acc, p1=p1, p2=p2, true_w=w, xc=xc, reverse=reverse,
-                ct=ct, use_roll=use_roll,
+                ct=ct, use_roll=use_roll, out_hwd=True,
             )
         return pl.pallas_call(
             body,
             grid=grid_h,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((xc, br, d), im, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((wp, hp, d), dt),
+            out_specs=pl.BlockSpec((br, xc, d), im_out,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
             scratch_shapes=[pltpu.VMEM((br, d), ct)],
             input_output_aliases={1: 0} if accumulate else {},
             compiler_params=_VMEM_PARAMS,
@@ -588,7 +635,6 @@ def sgm_wta_fused_pallas(
         )
     s_acc = h_call(False, None, cost_whd)
     s_acc = h_call(True, s_acc, cost_whd)
-    s_acc = jnp.transpose(s_acc, (1, 0, 2))
     s_acc = v_down(s_acc)
     disp_o, valid_o = v_up_fused(s_acc)
     disp = disp_o[:h, :w]
