@@ -387,6 +387,11 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=20)
     p.set_defaults(fn=cmd_bench)
 
+    ap.add_argument("--log", default=None, help="log level (DEBUG/INFO/...)")
+    args, _ = ap.parse_known_args(argv)
+    from .utils.log import setup
+
+    setup(args.log)
     args = ap.parse_args(argv)
     return args.fn(args)
 

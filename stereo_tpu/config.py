@@ -29,7 +29,7 @@ class StereoConfig:
     """
 
     # --- matching cost -----------------------------------------------------
-    cost_fn: str = "census"            # "census" (Hamming) | "sad"
+    cost_fn: str = "census"            # "census" (Hamming) | "sad" | "rank"
     census_window: Tuple[int, int] = (5, 5)   # (rows, cols); 5x5 -> 24-bit
     sad_window: Tuple[int, int] = (9, 9)      # block-matching window
 
@@ -63,8 +63,10 @@ class StereoConfig:
     backend: str = "auto"              # "auto" | "jnp" | "pallas"
 
     def __post_init__(self) -> None:
-        if self.cost_fn not in ("census", "sad"):
-            raise ValueError(f"cost_fn must be census|sad, got {self.cost_fn}")
+        if self.cost_fn not in ("census", "sad", "rank"):
+            raise ValueError(
+                f"cost_fn must be census|sad|rank, got {self.cost_fn}"
+            )
         if self.num_paths not in (0, 4, 8):
             raise ValueError(f"num_paths must be 0|4|8, got {self.num_paths}")
         if self.num_disparities < 1:
@@ -84,7 +86,7 @@ class StereoConfig:
     @property
     def max_unary_cost(self) -> int:
         """Upper bound of the per-pixel matching cost (drives dtype choice)."""
-        if self.cost_fn == "census":
+        if self.cost_fn in ("census", "rank"):
             return self.census_window[0] * self.census_window[1] - 1
         # SAD of uint8 over the window, normalized by window size in ops.cost
         return 255

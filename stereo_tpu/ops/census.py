@@ -71,3 +71,27 @@ def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     from jax import lax
 
     return jnp.sum(lax.population_count(x).astype(jnp.int32), axis=-1)
+
+
+def rank_transform(img: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
+    """Rank transform: count of window neighbors strictly below the center.
+
+    The scalar cousin of census (Zabih & Woodfill 1994 [K]); cost is the
+    absolute rank difference. Robust to radiometric changes like census,
+    cheaper (one int per pixel), slightly less discriminative.
+    """
+    wy, wx = window
+    if wy % 2 == 0 or wx % 2 == 0:
+        raise ValueError("rank window dims must be odd")
+    ry, rx = wy // 2, wx // 2
+    img32 = img.astype(jnp.int32)
+    padded = jnp.pad(img32, ((ry, ry), (rx, rx)), mode="edge")
+    h, w = img.shape
+    rank = jnp.zeros((h, w), dtype=jnp.int32)
+    for dy in range(wy):
+        for dx in range(wx):
+            if dy == ry and dx == rx:
+                continue
+            neighbor = padded[dy : dy + h, dx : dx + w]
+            rank = rank + (neighbor < img32).astype(jnp.int32)
+    return rank

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import StereoConfig
-from .census import census_transform, hamming_distance
+from .census import census_transform, hamming_distance, rank_transform
 
 
 def _shifted_stack(x: jnp.ndarray, num_disparities: int) -> jnp.ndarray:
@@ -119,10 +119,31 @@ def census_cost_volume(
     return jnp.where(invalid, jnp.int32(cfg.max_unary_cost), cost)
 
 
+def rank_cost_volume(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0
+) -> jnp.ndarray:
+    """Rank-transform cost volume: |rank_l(x) - rank_r(x - d)|.
+
+    The refined-rank family (PAPERS.md: Fully Parallel SGM with Refined
+    Rank Method) — scalar per-pixel descriptor, absolute-difference cost.
+    Returns [H, W, D] int32, values in [0, window_area - 1].
+    """
+    h, w = left.shape
+    d = cfg.num_disparities
+    rl = rank_transform(left, cfg.census_window)
+    rr = rank_transform(right, cfg.census_window)
+    rr_stack = _shifted_stack(rr, d)
+    cost = jnp.abs(rl[:, :, None] - rr_stack)
+    invalid = _invalid_mask(h, w, d, x_offset)
+    return jnp.where(invalid, jnp.int32(cfg.max_unary_cost), cost)
+
+
 def cost_volume(
     left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0
 ) -> jnp.ndarray:
     """Dispatch on cfg.cost_fn. Returns [H, W, D] int32."""
     if cfg.cost_fn == "census":
         return census_cost_volume(left, right, cfg, x_offset)
+    if cfg.cost_fn == "rank":
+        return rank_cost_volume(left, right, cfg, x_offset)
     return sad_cost_volume(left, right, cfg, x_offset)

@@ -21,3 +21,7 @@ __all__ = [
 from .stream import StreamRunner, build_stream_pipeline  # noqa: E402
 
 __all__ += ["StreamRunner", "build_stream_pipeline"]
+
+from .bands import build_banded_pipeline  # noqa: E402
+
+__all__ += ["build_banded_pipeline"]

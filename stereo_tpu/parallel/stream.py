@@ -56,7 +56,10 @@ def build_stream_pipeline(
     hp, wp = padded_extent(h, ty), padded_extent(w, tx)
     bh, bw = hp // ty, wp // tx
     halo_y, halo_x_lo, halo_x_hi = _halo_widths(cfg, tile_cfg)
-    tile_fn = make_tile_fn(cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi)
+    tile_fn = make_tile_fn(
+        cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi,
+        trivial=(ty == 1 and tx == 1 and (hp, wp) == (h, w)),
+    )
 
     def batched(left, right):
         if left.shape[1:] != (h, w):

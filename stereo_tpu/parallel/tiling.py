@@ -106,12 +106,24 @@ def make_tile_fn(
     halo_y: int,
     halo_x_lo: int,
     halo_x_hi: int,
+    trivial: bool = False,
 ):
     """Per-tile pipeline body run under shard_map over mesh axes ('ty','tx').
 
     Shared by the single-pair tiled pipeline below and the batched stream
     pipeline (parallel/stream.py), which vmaps it over a frame axis.
+
+    ``trivial=True`` marks a 1x1 tile grid with no padding: the tile IS the
+    frame, so no halo exchange, no validity mask, and crucially no blocker
+    for the fused Pallas fast path (a single-chip 'batch'-only stream would
+    otherwise silently fall back to the golden jnp pipeline).
     """
+    if trivial:
+
+        def tile_fn_trivial(l_blk, r_blk):
+            return compute_disparity(l_blk, r_blk, cfg)
+
+        return tile_fn_trivial
 
     def tile_fn(l_blk, r_blk):
         # shard_map passes [bh, bw] blocks; build the halo-extended
@@ -197,7 +209,8 @@ def build_halo_pipeline(
         right_p = jnp.pad(right, ((0, hp - h), (0, wp - w)))
 
         tile_fn = make_tile_fn(
-            cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi
+            cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi,
+            trivial=(ty == 1 and tx == 1 and (hp, wp) == (h, w)),
         )
         res = shard_map(
             tile_fn,

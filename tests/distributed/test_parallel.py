@@ -108,3 +108,25 @@ def test_halo_mode_nondivisible_extent(mesh42):
 def test_batch_axis_mesh():
     mesh = make_tile_mesh(jax.devices()[:8], mesh_shape=(2, 2), batch=2)
     assert mesh.shape == {"batch": 2, "ty": 2, "tx": 2}
+
+
+def test_banded_single_device():
+    """Row-band processing: exact horizontal behavior, bounded-error bands;
+    with a full-frame halo it is exact."""
+    from stereo_tpu.parallel.bands import build_banded_pipeline
+
+    pair = make_pair((64, 96), max_disp=10, kind="shapes", seed=11)
+    cfg = StereoConfig(num_disparities=16, num_paths=8)
+    g = compute_disparity(pair.left, pair.right, cfg)
+
+    # halo covering the whole frame -> bit-identical
+    fn = build_banded_pipeline(cfg, (64, 96), n_bands=4, halo=64)
+    res = fn(pair.left, pair.right)
+    np.testing.assert_array_equal(np.array(res.disp), np.array(g.disp))
+
+    # default warm-up halo -> small bounded error
+    fn2 = build_banded_pipeline(cfg, (64, 96), n_bands=4)
+    res2 = fn2(pair.left, pair.right)
+    both = np.array(res2.valid) & np.array(g.valid)
+    mismatch = (np.abs(np.array(res2.disp) - np.array(g.disp)) > 1)[both].mean()
+    assert mismatch < 0.02, mismatch

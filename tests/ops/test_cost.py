@@ -88,3 +88,49 @@ def test_zero_disparity_identical_images():
     cfg = StereoConfig(cost_fn="census", num_disparities=4)
     vol = np.array(cost_volume(img, img, cfg))
     np.testing.assert_array_equal(vol[:, :, 0], 0)
+
+
+def test_rank_cost_volume_matches_naive():
+    from stereo_tpu.ops.cost import rank_cost_volume
+
+    rng = np.random.default_rng(5)
+    left = rng.integers(0, 256, size=(9, 12)).astype(np.uint8)
+    right = rng.integers(0, 256, size=(9, 12)).astype(np.uint8)
+    cfg = StereoConfig(cost_fn="rank", census_window=(3, 3), num_disparities=4)
+    got = np.array(rank_cost_volume(left, right, cfg))
+
+    def rank(img):
+        p = np.pad(img.astype(np.int64), 1, mode="edge")
+        out = np.zeros(img.shape, np.int64)
+        for y in range(img.shape[0]):
+            for x in range(img.shape[1]):
+                win = p[y : y + 3, x : x + 3]
+                out[y, x] = (win < img[y, x]).sum()
+        return out
+
+    rl, rr = rank(left), rank(right)
+    h, w = left.shape
+    for y in range(h):
+        for x in range(w):
+            for d in range(4):
+                want = (
+                    cfg.max_unary_cost
+                    if x < d
+                    else abs(rl[y, x] - rr[y, x - d])
+                )
+                assert got[y, x, d] == want, (y, x, d)
+
+
+def test_rank_pipeline_end_to_end():
+    from stereo_tpu import compute_disparity
+    from stereo_tpu.data import make_pair
+    from stereo_tpu.eval import evaluate_disparity
+
+    pair = make_pair((64, 96), max_disp=10, kind="constant", seed=8)
+    cfg = StereoConfig(cost_fn="rank", num_disparities=16, num_paths=4,
+                       subpixel=False, median_filter=False)
+    res = compute_disparity(pair.left, pair.right, cfg)
+    m = evaluate_disparity(
+        np.array(res.disp), pair.gt_disp, pair.gt_valid, np.array(res.valid)
+    )
+    assert m["bad1"] < 0.01, m
