@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-from .config import PRESETS, StereoConfig, TileConfig
+from .config import PRESETS, StereoConfig
 
 
 def _apply_overrides(cfg: StereoConfig, sets) -> StereoConfig:

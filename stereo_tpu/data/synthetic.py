@@ -16,7 +16,7 @@ left image corresponds to (y, x - d) in the right image. Occluded pixels
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 

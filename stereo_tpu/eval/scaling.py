@@ -15,7 +15,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from ..config import StereoConfig, TileConfig
+from ..config import StereoConfig
 from ..parallel.mesh import make_tile_mesh
 from ..parallel.stream import build_stream_pipeline
 from ..utils.timing import chained_seconds_per_call

@@ -28,14 +28,11 @@ classic model is the reference-parity path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from ..config import KITTI_SGM8_128, StereoConfig
-from ..ops import apply_postprocess, census_transform, hamming_distance
-from ..ops import median_3x3, sgm_aggregate
+from ..ops import census_transform, hamming_distance, median_3x3, sgm_aggregate
 from ..ops.wta import wta_with_aux
 from ..pipeline.pipeline import StereoResult, compute_disparity
 from .base import StereoModel

@@ -16,9 +16,6 @@ lives in parallel/tiling.py; benchmarks compare the two.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

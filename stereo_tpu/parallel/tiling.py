@@ -24,7 +24,6 @@ makes XLA emit the all_gather of BASELINE.json:5.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -25,7 +25,6 @@ from ..ops import (
     lr_consistency,
     median_3x3,
     sgm_aggregate,
-    wta_disparity,
 )
 from ..ops.wta import wta_with_aux
 
