@@ -50,14 +50,14 @@ def _popcount(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cost_kernel(cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
-                 *, xc, d, bh, maxc, interpret, emit_t):
+                 *, xc, d, bh, maxc, interpret, emit_t, x_offset=0):
     """One [BH, XC] tile -> [BH, XC, D] (+ [XC, BH, D]) cost blocks."""
     j = pl.program_id(1)
     ctx = jnp.concatenate([cr_prev_ref[:], cr_cur_ref[:]], axis=1)  # [BH,2XC]
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (d, xc), 1)
     sub_d = jax.lax.broadcasted_iota(jnp.int32, (d, xc), 0)
-    # invalid where global x - d < 0
-    invalid = (j * xc + lane_x) < sub_d
+    # invalid where GLOBAL x - d < 0 (x_offset: static patch origin)
+    invalid = (x_offset + j * xc + lane_x) < sub_d
 
     rows = []
     rows_t = []
@@ -88,8 +88,13 @@ def census_cost_volume_pallas(
     interpret: bool = False,
     emit_transposed: bool = True,
     out_dtype=jnp.int16,
+    x_offset: int = 0,
 ):
     """Census-Hamming cost volume on TPU.
+
+    ``x_offset`` (static) is the block's global x origin — column patches
+    of a larger frame (parallel/bands.py) pass it so disparity-range
+    invalidation matches the whole-frame pipeline.
 
     Returns (cost [H, W, D], cost_whd [W, H, D] or None), int16, identical
     to the golden census_cost_volume (single-word census only).
@@ -126,7 +131,7 @@ def census_cost_volume_pallas(
 
     kernel = functools.partial(
         _cost_kernel, xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret,
-        emit_t=emit_transposed,
+        emit_t=emit_transposed, x_offset=x_offset,
     )
     if not emit_transposed:
         kernel = functools.partial(
@@ -134,6 +139,7 @@ def census_cost_volume_pallas(
                 cl_r, cc_r, cp_r, o_r, None, **kw
             ),
             xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret, emit_t=False,
+            x_offset=x_offset,
         )
 
     outs = pl.pallas_call(

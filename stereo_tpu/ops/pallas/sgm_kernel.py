@@ -368,7 +368,7 @@ def _epilogue_shift(mat, base_shift, wp, interpret, sign=1):
 def _v_fused_kernel(cost_ref, acc_ref, disp_ref, valid_ref,
                     vc_ref, d1c_ref, d2c_ref,
                     *, p1, p2, true_h, true_w, diag, bh, ct, use_roll, cfg,
-                    interpret):
+                    interpret, x_offset=0):
     """Bottom-up vertical pass + FULL selection epilogue, never writing S.
 
     Per row, after summing the up paths onto the forward accumulator:
@@ -463,7 +463,7 @@ def _v_fused_kernel(cost_ref, acc_ref, disp_ref, valid_ref,
                 jnp.where(lane == d0, jnp.abs(d0 - a), 10**6),
                 axis=1, keepdims=True,
             )
-            in_frame = (x_iota[:, :1] - d0 - md) >= 0
+            in_frame = (x_offset + x_iota[:, :1] - d0 - md) >= 0
             ok = ok * (
                 (diff_w <= cfg.lr_tau) & in_frame
             ).astype(jnp.int32)
@@ -487,6 +487,7 @@ def sgm_wta_fused_pallas(
     compute_dtype=jnp.float32,
     cost_whd=None,
     true_shape=None,
+    x_offset: int = 0,
 ):
     """SGM + WTA + subpixel + uniqueness + LR-check, S never materialized
     in its final form.
@@ -607,7 +608,7 @@ def sgm_wta_fused_pallas(
             functools.partial(
                 _v_fused_kernel, p1=p1, p2=p2, true_h=h, true_w=w,
                 diag=diag, bh=bhf, ct=ct, use_roll=use_roll, cfg=cfg,
-                interpret=interpret,
+                interpret=interpret, x_offset=x_offset,
             ),
             grid=(nbf,),
             in_specs=[

@@ -124,18 +124,33 @@ def compute_disparity(
         # the staged golden path (tests/ops/test_pallas_fused.py).
         from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
 
-        if cfg.cost_fn == "census" and cfg.census_words == 1 and x_offset == 0:
+        static_off = isinstance(x_offset, int)
+        if cfg.cost_fn == "census" and cfg.census_words == 1 and static_off:
             # Pallas cost kernel emits both volume layouts (the transposed
-            # copy feeds the horizontal SGM passes directly).
+            # copy feeds the horizontal SGM passes directly). Static patch
+            # origins (parallel/bands.py) thread straight into the kernels.
             from ..ops.pallas.cost_kernel import census_cost_volume_pallas
 
-            vol, vol_whd = census_cost_volume_pallas(left, right, cfg)
+            vol, vol_whd = census_cost_volume_pallas(
+                left, right, cfg, x_offset=x_offset
+            )
             disp, ok = sgm_wta_fused_pallas(
-                vol, cfg, cost_whd=vol_whd, true_shape=left.shape
+                vol, cfg, cost_whd=vol_whd, true_shape=left.shape,
+                x_offset=x_offset,
+            )
+        elif static_off:
+            vol = cost_volume(left, right, cfg, x_offset=x_offset)
+            disp, ok = sgm_wta_fused_pallas(
+                vol.astype(jnp.int16), cfg, x_offset=x_offset
             )
         else:
             vol = cost_volume(left, right, cfg, x_offset=x_offset)
-            disp, ok = sgm_wta_fused_pallas(vol.astype(jnp.int16), cfg)
+            s = sgm_aggregate(vol.astype(jnp.float32), cfg, image=left)
+            disp, ok, d_int = wta_with_aux(s, cfg)
+            disp, ok = apply_postprocess(
+                disp, ok, s, cfg.replace(median_filter=False),
+                x_offset, image_width, disp_int=d_int,
+            )
         if cfg.median_filter:
             disp = median_3x3(disp)
         return StereoResult(disp=disp, valid=ok)

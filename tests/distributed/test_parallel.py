@@ -130,3 +130,24 @@ def test_banded_single_device():
     both = np.array(res2.valid) & np.array(g.valid)
     mismatch = (np.abs(np.array(res2.disp) - np.array(g.disp)) > 1)[both].mean()
     assert mismatch < 0.02, mismatch
+
+
+def test_patched_rows_and_cols():
+    """Row x column patches with static offsets: exact with covering halos,
+    bounded error with warm-up halos."""
+    from stereo_tpu.parallel.bands import build_banded_pipeline
+
+    pair = make_pair((64, 128), max_disp=10, kind="shapes", seed=12)
+    cfg = StereoConfig(num_disparities=16, num_paths=8)
+    g = compute_disparity(pair.left, pair.right, cfg)
+
+    fn = build_banded_pipeline(cfg, (64, 128), n_bands=2, n_cols=2, halo=128)
+    res = fn(pair.left, pair.right)
+    np.testing.assert_array_equal(np.array(res.disp), np.array(g.disp))
+    np.testing.assert_array_equal(np.array(res.valid), np.array(g.valid))
+
+    fn2 = build_banded_pipeline(cfg, (64, 128), n_bands=2, n_cols=2)
+    res2 = fn2(pair.left, pair.right)
+    both = np.array(res2.valid) & np.array(g.valid)
+    mismatch = (np.abs(np.array(res2.disp) - np.array(g.disp)) > 1)[both].mean()
+    assert mismatch < 0.02, mismatch
