@@ -50,28 +50,40 @@ def _popcount(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cost_kernel(cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
-                 *, xc, d, bh, maxc, interpret, emit_t, x_offset=0):
-    """One [BH, XC] tile -> [BH, XC, D] (+ [XC, BH, D]) cost blocks."""
+                 *, xc, d, bh, maxc, interpret, emit_t, x_offset=0, words=1):
+    """One [W?, BH, XC] descriptor tile -> [BH, XC, D] (+ [XC, BH, D]) cost.
+
+    Descriptor refs carry a leading words axis; multi-word census sums the
+    per-word Hamming popcounts.
+    """
     j = pl.program_id(1)
-    ctx = jnp.concatenate([cr_prev_ref[:], cr_cur_ref[:]], axis=1)  # [BH,2XC]
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (d, xc), 1)
     sub_d = jax.lax.broadcasted_iota(jnp.int32, (d, xc), 0)
     # invalid where GLOBAL x - d < 0 (x_offset: static patch origin)
     invalid = (x_offset + j * xc + lane_x) < sub_d
 
+    ctxs = [
+        jnp.concatenate([cr_prev_ref[k], cr_cur_ref[k]], axis=1)  # [BH,2XC]
+        for k in range(words)
+    ]
+
     rows = []
     rows_t = []
     for r in range(bh):
-        ctx_row = jnp.broadcast_to(ctx[r : r + 1], (d, 2 * xc))
-        if interpret:
-            u = jax.lax.broadcasted_iota(jnp.int32, (d, 2 * xc), 1)
-            dd = jax.lax.broadcasted_iota(jnp.int32, (d, 2 * xc), 0)
-            shifted = jnp.take_along_axis(ctx_row, (u - dd) % (2 * xc), axis=1)
-        else:
-            shifted = pltpu.roll(ctx_row, 0, 1, stride=1, stride_axis=0)
-        win = shifted[:, xc:]                               # [D, XC]
-        clr = jnp.broadcast_to(cl_ref[r : r + 1], (d, xc))
-        pc = _popcount(jnp.bitwise_xor(clr, win))
+        pc = jnp.zeros((d, xc), jnp.int32)
+        for k in range(words):
+            ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (d, 2 * xc))
+            if interpret:
+                u = jax.lax.broadcasted_iota(jnp.int32, (d, 2 * xc), 1)
+                dd = jax.lax.broadcasted_iota(jnp.int32, (d, 2 * xc), 0)
+                shifted = jnp.take_along_axis(
+                    ctx_row, (u - dd) % (2 * xc), axis=1
+                )
+            else:
+                shifted = pltpu.roll(ctx_row, 0, 1, stride=1, stride_axis=0)
+            win = shifted[:, xc:]                           # [D, XC]
+            clr = jnp.broadcast_to(cl_ref[k][r : r + 1], (d, xc))
+            pc = pc + _popcount(jnp.bitwise_xor(clr, win))
         pc = jnp.where(invalid, maxc, pc).astype(out_ref.dtype)
         rows.append(pc.T[None])                             # [1, XC, D]
         if emit_t:
@@ -97,26 +109,28 @@ def census_cost_volume_pallas(
     invalidation matches the whole-frame pipeline.
 
     Returns (cost [H, W, D], cost_whd [W, H, D] or None), int16, identical
-    to the golden census_cost_volume (single-word census only).
+    to the golden census_cost_volume (any census word count).
     """
-    if cfg.cost_fn != "census" or cfg.census_words != 1:
-        raise NotImplementedError("pallas cost kernel: 1-word census only")
+    if cfg.cost_fn != "census":
+        raise NotImplementedError("pallas cost kernel: census only")
     h, w = left.shape
     d = cfg.num_disparities
     maxc = cfg.max_unary_cost
+    words = cfg.census_words
 
-    cl = census_transform(left, cfg.census_window)[..., 0]   # [H, W] uint32
-    cr = census_transform(right, cfg.census_window)[..., 0]
+    # [words, H, W] uint32 descriptor planes
+    cl = jnp.moveaxis(census_transform(left, cfg.census_window), -1, 0)
+    cr = jnp.moveaxis(census_transform(right, cfg.census_window), -1, 0)
 
     bh = 8
     _, hp, _, wp = plan_dims(h, w, d)
     xc = wp if wp < max(d, 128) else max(d, 128)
-    cl = jnp.pad(cl, ((0, hp - h), (0, wp - w)))
-    cr = jnp.pad(cr, ((0, hp - h), (0, wp - w)))
+    cl = jnp.pad(cl, ((0, 0), (0, hp - h), (0, wp - w)))
+    cr = jnp.pad(cr, ((0, 0), (0, hp - h), (0, wp - w)))
     grid = (hp // bh, wp // xc)
 
-    im = lambda i, j: (i, j)
-    im_prev = lambda i, j: (i, jnp.maximum(j - 1, 0))
+    im = lambda i, j: (0, i, j)
+    im_prev = lambda i, j: (0, i, jnp.maximum(j - 1, 0))
     out_shapes = [jax.ShapeDtypeStruct((hp, wp, d), out_dtype)]
     out_specs = [
         pl.BlockSpec((bh, xc, d), lambda i, j: (i, j, 0),
@@ -131,7 +145,7 @@ def census_cost_volume_pallas(
 
     kernel = functools.partial(
         _cost_kernel, xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret,
-        emit_t=emit_transposed, x_offset=x_offset,
+        emit_t=emit_transposed, x_offset=x_offset, words=words,
     )
     if not emit_transposed:
         kernel = functools.partial(
@@ -139,16 +153,16 @@ def census_cost_volume_pallas(
                 cl_r, cc_r, cp_r, o_r, None, **kw
             ),
             xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret, emit_t=False,
-            x_offset=x_offset,
+            x_offset=x_offset, words=words,
         )
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bh, xc), im, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, xc), im, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, xc), im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((words, bh, xc), im, memory_space=pltpu.VMEM),
+            pl.BlockSpec((words, bh, xc), im, memory_space=pltpu.VMEM),
+            pl.BlockSpec((words, bh, xc), im_prev, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,

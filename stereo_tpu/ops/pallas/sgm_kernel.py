@@ -455,7 +455,11 @@ def _v_fused_kernel(cost_ref, acc_ref, disp_ref, valid_ref,
             d_r = jnp.min(
                 jnp.where(s_r == mr, lane, d), axis=1, keepdims=True
             )                                                      # [W,1]
-            # A[x, d] = d_R(x - md - d); compare at the winner lane.
+            # A[x, d] = d_R(x - md - d); compare at the winner lane. (A
+            # per-sublane variable shift of the [W,1] column CANNOT replace
+            # this: destination-dependent shifts do not compose through
+            # sequential gated rolls — the matrix form works because each
+            # lane's shift equals its constant lane index.)
             a = _epilogue_shift(
                 jnp.broadcast_to(d_r, (w, d)), md, w, interpret
             )

@@ -77,6 +77,9 @@ def build_stream_pipeline(
             out_specs=StereoResult(
                 disp=P("batch", "ty", "tx"), valid=P("batch", "ty", "tx")
             ),
+            # pallas_call out_shapes carry no varying-mesh-axes metadata;
+            # out_specs above already pin the output layout.
+            check_vma=False,
         )(lp, rp)
         return StereoResult(
             disp=res.disp[:, :h, :w], valid=res.valid[:, :h, :w]

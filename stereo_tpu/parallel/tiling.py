@@ -216,6 +216,9 @@ def build_halo_pipeline(
             mesh=mesh,
             in_specs=(P("ty", "tx"), P("ty", "tx")),
             out_specs=StereoResult(disp=P("ty", "tx"), valid=P("ty", "tx")),
+            # pallas_call out_shapes carry no varying-mesh-axes metadata;
+            # out_specs above already pin the output layout.
+            check_vma=False,
         )(left_p, right_p)
         return StereoResult(disp=res.disp[:h, :w], valid=res.valid[:h, :w])
 

@@ -125,7 +125,7 @@ def compute_disparity(
         from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
 
         static_off = isinstance(x_offset, int)
-        if cfg.cost_fn == "census" and cfg.census_words == 1 and static_off:
+        if cfg.cost_fn == "census" and static_off:
             # Pallas cost kernel emits both volume layouts (the transposed
             # copy feeds the horizontal SGM passes directly). Static patch
             # origins (parallel/bands.py) thread straight into the kernels.

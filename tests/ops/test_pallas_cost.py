@@ -24,8 +24,22 @@ def test_cost_kernel_matches_golden(shape, d):
     np.testing.assert_array_equal(got_t, want)
 
 
-def test_cost_kernel_rejects_multiword():
-    cfg = StereoConfig(cost_fn="census", census_window=(9, 7), num_disparities=8)
+def test_cost_kernel_rejects_non_census():
+    cfg = StereoConfig(cost_fn="sad", num_disparities=8)
     z = np.zeros((8, 16), np.uint8)
     with pytest.raises(NotImplementedError):
         census_cost_volume_pallas(z, z, cfg, interpret=True)
+
+
+def test_cost_kernel_multiword_census():
+    """9x7 window -> 62-bit descriptor in two uint32 words."""
+    rng = np.random.default_rng(9)
+    left = rng.integers(0, 256, size=(18, 40)).astype(np.uint8)
+    right = rng.integers(0, 256, size=(18, 40)).astype(np.uint8)
+    cfg = StereoConfig(cost_fn="census", census_window=(9, 7), num_disparities=16)
+    cost_p, cost_t = census_cost_volume_pallas(left, right, cfg, interpret=True)
+    want = np.array(census_cost_volume(left, right, cfg))
+    np.testing.assert_array_equal(np.array(cost_p)[:18, :40], want)
+    np.testing.assert_array_equal(
+        np.array(cost_t)[:40, :18].transpose(1, 0, 2), want
+    )
