@@ -256,15 +256,16 @@ def cmd_stream(args) -> int:
         from .data.synthetic import make_pair
 
         nf = args.limit or 32
+        shape = tuple(args.demo_shape)
+        max_disp = max(4, cfg.num_disparities * 3 // 4)
         frames = [
             (p.left, p.right)
             for p in (
-                make_pair((375, 1242), max_disp=96, kind="shapes",
+                make_pair(shape, max_disp=max_disp, kind="shapes",
                           texture="cloud", seed=i)
                 for i in range(nf)
             )
         ]
-        shape = (375, 1242)
 
     runner = StreamRunner(
         cfg, mesh, shape, batch_size=args.batch, manifest_path=args.manifest
@@ -370,6 +371,7 @@ def main(argv=None) -> int:
                    help="size of the 'batch' mesh axis")
     p.add_argument("--tiles", help="ty,tx tile mesh per frame")
     p.add_argument("--manifest", help="stream resume manifest")
+    p.add_argument("--demo-shape", type=int, nargs=2, default=(375, 1242))
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("scale")

@@ -51,4 +51,7 @@ def evaluate_disparity(
     for dl in deltas:
         out[f"bad{dl:g}"] = float((err > dl).mean())
     out["epe"] = float(err.mean())
+    # KITTI 2015 official D1: error > 3 px AND > 5% of the true disparity.
+    gt = gt_disp[both]
+    out["d1"] = float(((err > 3.0) & (err > 0.05 * np.abs(gt))).mean())
     return out

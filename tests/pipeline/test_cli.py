@@ -1,0 +1,57 @@
+"""CLI command tests on the fake-device CPU backend."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from stereo_tpu.cli import main
+
+
+SMALL = ["--set", "num_disparities=16"]
+
+
+def test_cli_stream_synthetic(tmp_path, capsys):
+    rc = main([
+        "stream", "--preset", "kitti_sgm8_128", *SMALL,
+        "--limit", "4", "--batch", "2", "--batch-axis", "2",
+        "--tiles", "1,1", "--demo-shape", "48", "80",
+        "--manifest", str(tmp_path / "m.json"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = json.loads(out)
+    assert stats["frames"] == 4
+
+
+def test_cli_run_rank_cost(tmp_path, capsys):
+    rc = main([
+        "run", "--demo", "--demo-shape", "48", "80", "--demo-max-disp", "8",
+        "--preset", "kitti_sgm8_128", "--set", "num_disparities=16",
+        "--set", "cost_fn=rank",
+        "--out", str(tmp_path / "d.pfm"),
+    ])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "d.pfm")
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["bad3"] < 0.05
+
+
+def test_cli_bench_quick(capsys):
+    rc = main([
+        "bench", "--preset", "middlebury_census_sgm4_64", *SMALL,
+        "--demo-shape", "48", "80", "--demo-max-disp", "8", "--iters", "3",
+    ])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["fps"] > 0
+
+
+def test_cli_run_pyramid_model(capsys):
+    rc = main([
+        "run", "--demo", "--demo-shape", "64", "96", "--demo-max-disp", "12",
+        "--preset", "kitti_sgm8_128", "--set", "num_disparities=32",
+        "--model", "pyramid",
+    ])
+    assert rc == 0
