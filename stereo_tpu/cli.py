@@ -149,12 +149,17 @@ def cmd_run(args) -> int:
         res = fn(pair.left, pair.right)
         jax.block_until_ready(res.disp)
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        res = fn(pair.left, pair.right)
-        jax.block_until_ready(res.disp)
+        # Chained timing: block_until_ready alone under-reports on remote
+        # backends (utils/timing.py).
+        from .utils.timing import chained_seconds_per_call
+
+        steady = chained_seconds_per_call(
+            lambda l, r: fn(l, r), (pair.left, pair.right), iters=5,
+            repeats=1,
+        )
         print(
             f"[{pair.name}] compile+run {compile_s:.2f}s, "
-            f"steady-state {time.perf_counter() - t0:.4f}s",
+            f"steady-state {steady:.4f}s ({1.0/steady:.1f} fps)",
             file=sys.stderr,
         )
 
