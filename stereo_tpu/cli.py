@@ -129,7 +129,7 @@ def cmd_run(args) -> int:
 
         ty, tx = (int(v) for v in args.exact_mesh.split(","))
         mesh = make_tile_mesh(jax.devices()[: ty * tx], mesh_shape=(ty, tx))
-        fn = build_exact_pipeline(cfg, mesh)
+        fn = build_exact_pipeline(cfg, mesh, dplane_cost=args.dplane_cost)
     elif args.model != "classic":
         from .models import get_model
 
@@ -352,6 +352,9 @@ def main(argv=None) -> int:
     p.add_argument("--kitti-format", action="store_true")
     p.add_argument("--tiles", help="halo-tiled run over ty,tx devices")
     p.add_argument("--exact-mesh", help="exact reshard mode over ty,tx")
+    p.add_argument("--dplane-cost", action="store_true",
+                   help="with --exact-mesh: build the cost volume "
+                        "disparity-plane-sharded (P3) before the reshard")
     p.add_argument("--profile", help="dump a jax.profiler trace directory")
     p.add_argument("--dump-volume", metavar="NPY",
                    help="save the aggregated cost volume (debug, golden path)")

@@ -60,7 +60,10 @@ class StereoConfig:
 
     # --- numerics ----------------------------------------------------------
     cost_dtype: str = "int32"          # golden-path cost dtype
-    backend: str = "auto"              # "auto" | "jnp" | "pallas"
+    backend: str = "auto"              # "auto" | "jnp" | "pallas" |
+    #                                    "pallas_interpret" (kernels in
+    #                                    interpreter mode — CPU CI of the
+    #                                    Pallas paths)
 
     def __post_init__(self) -> None:
         if self.cost_fn not in ("census", "sad", "rank"):

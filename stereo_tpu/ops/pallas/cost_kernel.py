@@ -49,18 +49,26 @@ def _popcount(x: jnp.ndarray) -> jnp.ndarray:
     return (x & jnp.uint32(0x3F)).astype(jnp.int32)
 
 
-def _cost_kernel(cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
-                 *, xc, d, bh, maxc, interpret, emit_t, x_offset=0, words=1):
+def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
+                 *, xc, d, bh, maxc, interpret, emit_t, words=1):
     """One [W?, BH, XC] descriptor tile -> [BH, XC, D] (+ [XC, BH, D]) cost.
 
     Descriptor refs carry a leading words axis; multi-word census sums the
-    per-word Hamming popcounts.
+    per-word Hamming popcounts. b_ref is the SMEM bounds vector
+    (sgm_kernel.N_BOUNDS); b_ref[4] is the block's global x origin, which
+    may be a traced tile offset.
     """
     j = pl.program_id(1)
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (d, xc), 1)
     sub_d = jax.lax.broadcasted_iota(jnp.int32, (d, xc), 0)
-    # invalid where GLOBAL x - d < 0 (x_offset: static patch origin)
-    invalid = (x_offset + j * xc + lane_x) < sub_d
+    # invalid where GLOBAL x - d < 0 (b_ref[4]: the block's global origin)
+    invalid = (b_ref[4] + j * xc + lane_x) < sub_d
+    # LOCAL underflow (x - d < 0 within this block but globally in-frame —
+    # only possible on interior tiles, whose global origin is positive):
+    # the golden _shifted_stack clamps the sample to the block's column 0,
+    # so the kernel must too — the roll would wrap garbage in from the
+    # right. Possible only in chunk 0 (xc >= D by plan_dims).
+    local_under = (j * xc + lane_x) < sub_d
 
     ctxs = [
         jnp.concatenate([cr_prev_ref[k], cr_cur_ref[k]], axis=1)  # [BH,2XC]
@@ -82,6 +90,7 @@ def _cost_kernel(cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
             else:
                 shifted = pltpu.roll(ctx_row, 0, 1, stride=1, stride_axis=0)
             win = shifted[:, xc:]                           # [D, XC]
+            win = jnp.where(local_under, ctx_row[:, xc : xc + 1], win)
             clr = jnp.broadcast_to(cl_ref[k][r : r + 1], (d, xc))
             pc = pc + _popcount(jnp.bitwise_xor(clr, win))
         pc = jnp.where(invalid, maxc, pc).astype(out_ref.dtype)
@@ -100,13 +109,14 @@ def census_cost_volume_pallas(
     interpret: bool = False,
     emit_transposed: bool = True,
     out_dtype=jnp.int16,
-    x_offset: int = 0,
+    x_offset=0,
 ):
     """Census-Hamming cost volume on TPU.
 
-    ``x_offset`` (static) is the block's global x origin — column patches
-    of a larger frame (parallel/bands.py) pass it so disparity-range
-    invalidation matches the whole-frame pipeline.
+    ``x_offset`` is the block's global x origin — column patches of a
+    larger frame (parallel/bands.py) pass a static int, shard_map tiles
+    (parallel/tiling.py) a traced scalar — so disparity-range invalidation
+    matches the whole-frame pipeline.
 
     Returns (cost [H, W, D], cost_whd [W, H, D] or None), int16, identical
     to the golden census_cost_volume (any census word count).
@@ -145,21 +155,25 @@ def census_cost_volume_pallas(
 
     kernel = functools.partial(
         _cost_kernel, xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret,
-        emit_t=emit_transposed, x_offset=x_offset, words=words,
+        emit_t=emit_transposed, words=words,
     )
     if not emit_transposed:
         kernel = functools.partial(
-            lambda cl_r, cc_r, cp_r, o_r, **kw: _cost_kernel(
-                cl_r, cc_r, cp_r, o_r, None, **kw
+            lambda b_r, cl_r, cc_r, cp_r, o_r, **kw: _cost_kernel(
+                b_r, cl_r, cc_r, cp_r, o_r, None, **kw
             ),
             xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret, emit_t=False,
-            x_offset=x_offset, words=words,
+            words=words,
         )
 
+    bounds = jnp.stack(
+        [jnp.asarray(v) for v in (0, h, 0, w, x_offset)]
+    ).astype(jnp.int32)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((words, bh, xc), im, memory_space=pltpu.VMEM),
             pl.BlockSpec((words, bh, xc), im, memory_space=pltpu.VMEM),
             pl.BlockSpec((words, bh, xc), im_prev, memory_space=pltpu.VMEM),
@@ -168,7 +182,7 @@ def census_cost_volume_pallas(
         out_shape=out_shapes,
         compiler_params=_VMEM_PARAMS,
         interpret=interpret,
-    )(cl, cr, cr)
+    )(bounds, cl, cr, cr)
 
     cost = outs[0]
     cost_t = outs[1] if emit_transposed else None

@@ -45,6 +45,38 @@ from ...config import StereoConfig
 
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * (1 << 20))
 
+#: SMEM bounds vector layout shared by every kernel in this module:
+#: (y_lo, y_hi, x_lo, x_hi, x0). [y_lo, y_hi) x [x_lo, x_hi) is the
+#: in-frame rectangle of the block in LOCAL coordinates — SGM carries
+#: fresh-start at its edges, exactly like the golden masked recurrence
+#: (ops/sgm.py valid-mask semantics restricted to rectangles, which is
+#: all the halo tiling in parallel/tiling.py ever produces). x0 is the
+#: block's GLOBAL x origin (possibly a traced scalar: tile offsets come
+#: from lax.axis_index), used for disparity-range framing in the fused
+#: epilogue. Whole-frame callers pass (0, h, 0, w, x_offset).
+N_BOUNDS = 5
+
+
+def frame_bounds(h, w, x_offset=0, y_offset=0, image_width=None,
+                 image_height=None):
+    """Build the SMEM bounds vector for a [h, w] block of a larger frame.
+
+    Offsets may be traced scalars (tile origins). ``image_*`` default to
+    treating the block as the whole frame.
+    """
+    ih = image_height if image_height is not None else h
+    iw = image_width if image_width is not None else w
+    y_lo = jnp.clip(-y_offset, 0, h)
+    y_hi = jnp.clip(ih - y_offset, 0, h)
+    x_lo = jnp.clip(-x_offset, 0, w)
+    x_hi = jnp.clip(iw - x_offset, 0, w)
+    return jnp.stack(
+        [jnp.asarray(v) for v in (y_lo, y_hi, x_lo, x_hi, x_offset)]
+    ).astype(jnp.int32)
+
+
+_SMEM_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
+
 
 def plan_dims(h, w, d):
     """Shared padding plan for the cost + SGM kernels.
@@ -91,11 +123,18 @@ def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
     return cand - m
 
 
-def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
+def _h_kernel(b_ref, cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
               xc, reverse, accumulate, ct=jnp.int32, use_roll=False,
               out_hwd=False):
     """One horizontal direction over a [XC, BR, D] block of the TRANSPOSED
     (W, H, D) volume.
+
+    b_ref: SMEM bounds vector (see N_BOUNDS). The scan fresh-starts at the
+    frame edge of its direction: every x <= x_lo for the forward pass,
+    every x >= x_hi - 1 for the reverse pass — matching the golden masked
+    recurrence (invalid predecessors reset the carry to L = C) on the
+    rectangular in-frame region; out-of-rect columns hold garbage the
+    caller crops.
 
     The scan axis must be the untiled depth dimension: Mosaic cannot load a
     dynamically indexed single sublane (cost[:, x, :]) from a tiled dim, so
@@ -116,6 +155,8 @@ def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
     nj = pl.num_programs(1)
     dt = out_ref.dtype
     chunk = (nj - 1 - j) if reverse else j
+    x_lo = b_ref[2]
+    x_hi = b_ref[3]
 
     if out_hwd:
         carry = carry_ref[:].astype(ct)
@@ -124,7 +165,7 @@ def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
         for x in xs:
             gx = chunk * xc + x
             c = cost_ref[x].astype(ct)
-            origin = (gx == true_w - 1) if reverse else (gx == 0)
+            origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
             l = jnp.where(origin, c, c + _upd(carry, p1, p2, use_roll))
             slabs[x] = l.astype(dt)[:, None, :]        # [BR, 1, D]
             carry = l
@@ -140,7 +181,7 @@ def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
         x = (xc - 1 - i) if reverse else i
         gx = chunk * xc + x
         c = cost_ref[x].astype(ct)
-        origin = (gx == true_w - 1) if reverse else (gx == 0)
+        origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
         l = jnp.where(origin, c, c + _upd(carry, p1, p2, use_roll))
         if accumulate:
             out_ref[x] = acc_ref[x] + l.astype(dt)
@@ -152,25 +193,34 @@ def _h_kernel(cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2, true_w,
     carry_ref[:] = final.astype(carry_ref.dtype)
 
 
-def _h_no_acc(cost_ref, out_ref, carry_ref, *, p1, p2, true_w, xc, reverse,
+def _h_no_acc(b_ref, cost_ref, out_ref, carry_ref, *, p1, p2, xc, reverse,
               ct=jnp.int32, use_roll=False, out_hwd=False):
-    _h_kernel(cost_ref, None, out_ref, carry_ref, p1=p1, p2=p2,
-              true_w=true_w, xc=xc, reverse=reverse, accumulate=False,
+    _h_kernel(b_ref, cost_ref, None, out_ref, carry_ref, p1=p1, p2=p2,
+              xc=xc, reverse=reverse, accumulate=False,
               ct=ct, use_roll=use_roll, out_hwd=out_hwd)
 
 
-def _v_kernel(cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
-              *, p1, p2, true_h, true_w, diag, bh, up, ct=jnp.int32,
+def _v_kernel(b_ref, cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
+              *, p1, p2, diag, bh, up, ct=jnp.int32,
               use_roll=False):
     """T2B + down-right + down-left rows (or the three up paths) for one
-    [BH, W, D] row block, accumulated onto acc_ref."""
+    [BH, W, D] row block, accumulated onto acc_ref.
+
+    Fresh starts at the in-frame rectangle's edges (b_ref, see N_BOUNDS):
+    rows <= y_lo going down / >= y_hi - 1 going up, and for the diagonal
+    carries additionally columns <= x_lo / >= x_hi - 1."""
     pid = pl.program_id(0)
     nb = pl.num_programs(0)
     dt = out_ref.dtype
     w, d = vc_ref.shape
     block = (nb - 1 - pid) if up else pid
+    y_lo, y_hi, x_lo, x_hi = b_ref[0], b_ref[1], b_ref[2], b_ref[3]
 
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (w, d), 0)
+    # Row-loop invariants, hoisted (the bound scalars come from SMEM so
+    # these are not compile-time constants the way static extents were).
+    diag_a_fresh = x_iota <= x_lo
+    diag_b_fresh = x_iota >= x_hi - 1
     v = vc_ref[:]
     d1 = d1c_ref[:] if diag else None
     d2 = d2c_ref[:] if diag else None
@@ -178,23 +228,23 @@ def _v_kernel(cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
     for r in rows:
         c = cost_ref[r].astype(ct)
         grow = block * bh + r
-        origin = (grow == true_h - 1) if up else (grow == 0)
+        origin = (grow >= y_hi - 1) if up else (grow <= y_lo)
         lv = jnp.where(origin, c, c + _upd(v, p1, p2, use_roll))
         acc = lv
         if diag:
             # diagonal A: predecessor one pixel to the LEFT in the previous
             # scan row (down-right going down, up-right going up); fresh
-            # start at the global left edge.
+            # start at the frame's left edge.
             d1_sh = jnp.concatenate([d1[:1], d1[:-1]], axis=0)
             l1 = jnp.where(
-                jnp.logical_or(origin, x_iota == 0),
+                jnp.logical_or(origin, diag_a_fresh),
                 c, c + _upd(d1_sh, p1, p2, use_roll),
             )
             # diagonal B: predecessor one pixel to the RIGHT; fresh start
-            # at the global right edge.
+            # at the frame's right edge.
             d2_sh = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
             l2 = jnp.where(
-                jnp.logical_or(origin, x_iota == true_w - 1),
+                jnp.logical_or(origin, diag_b_fresh),
                 c, c + _upd(d2_sh, p1, p2, use_roll),
             )
             acc = acc + l1 + l2
@@ -214,6 +264,7 @@ def sgm_aggregate_pallas(
     _passes: str = "hv",
     compute_dtype=jnp.float32,
     use_roll: bool = False,
+    bounds: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """S(p, d) = sum of 4/8 SGM path costs over four blocked HBM passes.
 
@@ -221,6 +272,10 @@ def sgm_aggregate_pallas(
       cost: [H, W, D] integer cost volume (int16 recommended).
       cfg: static config; num_paths in {4, 8}; adaptive_p2 unsupported
         here (the golden path covers it).
+      bounds: optional int32[N_BOUNDS] in-frame rectangle (frame_bounds());
+        carries fresh-start at its edges instead of the block edges —
+        bit-exact inside the rectangle vs the golden sgm_aggregate with
+        the matching rectangular valid mask. None = whole block valid.
 
     Returns: [H, W, D] summed volume, same dtype, bit-exact vs the golden
     sgm_aggregate for full-frame (all-valid) inputs.
@@ -230,6 +285,8 @@ def sgm_aggregate_pallas(
     if cfg.adaptive_p2:
         raise NotImplementedError("adaptive_p2: use the golden sgm_aggregate")
     h, w, d = cost.shape
+    if bounds is None:
+        bounds = frame_bounds(h, w)
     ct = compute_dtype
     if ct == jnp.float32:
         p1, p2 = float(cfg.p1), float(cfg.p2)
@@ -264,21 +321,24 @@ def sgm_aggregate_pallas(
             if reverse
             else (lambda i, j: (i, j, 0))
         )
-        in_specs = [pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM)]
-        args = [cost_whd]
+        in_specs = [
+            _SMEM_SPEC,
+            pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM),
+        ]
+        args = [bounds, cost_whd]
         if accumulate:
             in_specs.append(
                 pl.BlockSpec((br, xc, d), im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
             body = functools.partial(
-                _h_kernel, p1=p1, p2=p2, true_w=w, xc=xc,
+                _h_kernel, p1=p1, p2=p2, xc=xc,
                 reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
                 out_hwd=True,
             )
         else:
             body = functools.partial(
-                _h_no_acc, p1=p1, p2=p2, true_w=w, xc=xc, reverse=reverse,
+                _h_no_acc, p1=p1, p2=p2, xc=xc, reverse=reverse,
                 ct=ct, use_roll=use_roll, out_hwd=True,
             )
         return pl.pallas_call(
@@ -289,7 +349,7 @@ def sgm_aggregate_pallas(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
             scratch_shapes=[pltpu.VMEM((br, d), ct)],
-            input_output_aliases={1: 0} if accumulate else {},
+            input_output_aliases={2: 0} if accumulate else {},
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(*args)
@@ -303,21 +363,22 @@ def sgm_aggregate_pallas(
         carry = lambda: pltpu.VMEM((wp, d), ct)
         return pl.pallas_call(
             functools.partial(
-                _v_kernel, p1=p1, p2=p2, true_h=h, true_w=w,
+                _v_kernel, p1=p1, p2=p2,
                 diag=diag, bh=bh, up=up, ct=ct, use_roll=use_roll,
             ),
             grid=(nb,),
             in_specs=[
+                _SMEM_SPEC,
                 pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
             scratch_shapes=[carry(), carry(), carry()],
-            input_output_aliases={1: 0},
+            input_output_aliases={2: 0},
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
-        )(cost, acc)
+        )(bounds, cost, acc)
 
     # _passes is a profiling knob ("h" / "v" / "hv"); results are only
     # meaningful SGM sums for the default "hv".
@@ -365,10 +426,10 @@ def _epilogue_shift(mat, base_shift, wp, interpret, sign=1):
     return mat
 
 
-def _v_fused_kernel(cost_ref, acc_ref, disp_ref, valid_ref,
+def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref,
                     vc_ref, d1c_ref, d2c_ref,
-                    *, p1, p2, true_h, true_w, diag, bh, ct, use_roll, cfg,
-                    interpret, x_offset=0):
+                    *, p1, p2, diag, bh, ct, use_roll, cfg,
+                    interpret, image_width):
     """Bottom-up vertical pass + FULL selection epilogue, never writing S.
 
     Per row, after summing the up paths onto the forward accumulator:
@@ -383,11 +444,19 @@ def _v_fused_kernel(cost_ref, acc_ref, disp_ref, valid_ref,
     nb = pl.num_programs(0)
     w, d = vc_ref.shape
     block = nb - 1 - pid
+    y_hi, x_lo, x_hi = b_ref[1], b_ref[2], b_ref[3]
+    x0 = b_ref[4]
 
     BIG = jnp.float32(3e38)
     md = int(cfg.min_disparity)
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (w, d), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (w, d), 1)
+    # Row-loop invariants, hoisted (the frame-bound scalars come from SMEM
+    # so these are not compile-time constants the way static extents were).
+    diag_a_fresh = x_iota <= x_lo
+    diag_b_fresh = x_iota >= x_hi - 1
+    oof_right = x0 + x_iota + lane >= image_width
+    xmd = x0 + x_iota[:, :1] - md
 
     v = vc_ref[:]
     d1 = d1c_ref[:] if diag else None
@@ -397,18 +466,18 @@ def _v_fused_kernel(cost_ref, acc_ref, disp_ref, valid_ref,
     for r in range(bh - 1, -1, -1):
         c = cost_ref[r].astype(ct)
         grow = block * bh + r
-        origin = grow == true_h - 1
+        origin = grow >= y_hi - 1
         lv = jnp.where(origin, c, c + _upd(v, p1, p2, use_roll))
         acc = lv
         if diag:
             d1_sh = jnp.concatenate([d1[:1], d1[:-1]], axis=0)
             l1 = jnp.where(
-                jnp.logical_or(origin, x_iota == 0),
+                jnp.logical_or(origin, diag_a_fresh),
                 c, c + _upd(d1_sh, p1, p2, use_roll),
             )
             d2_sh = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
             l2 = jnp.where(
-                jnp.logical_or(origin, x_iota == true_w - 1),
+                jnp.logical_or(origin, diag_b_fresh),
                 c, c + _upd(d2_sh, p1, p2, use_roll),
             )
             acc = acc + l1 + l2
@@ -448,9 +517,11 @@ def _v_fused_kernel(cost_ref, acc_ref, disp_ref, valid_ref,
 
         if cfg.lr_check:
             # Right-view volume: S_R(x, d) = S(x + d, d) — one strided
-            # sublane roll; out-of-frame samples masked huge.
+            # sublane roll; samples beyond the GLOBAL frame masked huge
+            # (x0: this block's global x origin, matching the golden
+            # right_disparity_from_volume oof mask).
             s_r = _epilogue_shift(s_row, 0, w, interpret, sign=-1)
-            s_r = jnp.where(x_iota + lane >= true_w, BIG, s_r)
+            s_r = jnp.where(oof_right, BIG, s_r)
             mr = jnp.min(s_r, axis=1, keepdims=True)
             d_r = jnp.min(
                 jnp.where(s_r == mr, lane, d), axis=1, keepdims=True
@@ -467,7 +538,7 @@ def _v_fused_kernel(cost_ref, acc_ref, disp_ref, valid_ref,
                 jnp.where(lane == d0, jnp.abs(d0 - a), 10**6),
                 axis=1, keepdims=True,
             )
-            in_frame = (x_offset + x_iota[:, :1] - d0 - md) >= 0
+            in_frame = (xmd - d0) >= 0
             ok = ok * (
                 (diff_w <= cfg.lr_tau) & in_frame
             ).astype(jnp.int32)
@@ -492,6 +563,8 @@ def sgm_wta_fused_pallas(
     cost_whd=None,
     true_shape=None,
     x_offset: int = 0,
+    bounds: jnp.ndarray = None,
+    image_width: int = None,
 ):
     """SGM + WTA + subpixel + uniqueness + LR-check, S never materialized
     in its final form.
@@ -501,13 +574,27 @@ def sgm_wta_fused_pallas(
     (disp, valid) directly — removing the separate WTA sweep, the
     right-view re-index pass, AND the final 119 MB S write.
 
+    ``bounds`` (frame_bounds()) marks the in-frame rectangle of a tile of
+    a larger frame — carries fresh-start at frame edges and the LR framing
+    uses the tile's global x origin; ``image_width`` is the STATIC global
+    frame width (defaults to this block's width). Offsets inside bounds
+    may be traced (shard_map tile origins).
+
     Returns (disp [H, W] float32, valid [H, W] bool), matching the golden
-    wta + integer-LR postprocess pipeline bit-exactly.
+    wta + integer-LR postprocess pipeline bit-exactly — on tiles, inside
+    the in-frame rectangle up to the halo-warm-up approximation the caller
+    chose (parallel/tiling.py measures it).
     """
     if cfg.num_paths == 0 or cfg.adaptive_p2:
         raise NotImplementedError("fused path requires SGM without adaptive P2")
     h, w = true_shape if true_shape is not None else cost.shape[:2]
     d = cost.shape[2]
+    if image_width is None:
+        # x_offset-only callers (parallel/bands.py column patches) are
+        # fully in-frame: the frame extends at least to the patch's end.
+        image_width = x_offset + w
+    if bounds is None:
+        bounds = frame_bounds(h, w, x_offset=x_offset, image_width=image_width)
     ct = compute_dtype
     use_roll = False
     if ct == jnp.float32:
@@ -544,21 +631,24 @@ def sgm_wta_fused_pallas(
             if reverse
             else (lambda i, j: (i, j, 0))
         )
-        in_specs = [pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM)]
-        args = [cost_whd]
+        in_specs = [
+            _SMEM_SPEC,
+            pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM),
+        ]
+        args = [bounds, cost_whd]
         if accumulate:
             in_specs.append(
                 pl.BlockSpec((br, xc, d), im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
             body = functools.partial(
-                _h_kernel, p1=p1, p2=p2, true_w=w, xc=xc,
+                _h_kernel, p1=p1, p2=p2, xc=xc,
                 reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
                 out_hwd=True,
             )
         else:
             body = functools.partial(
-                _h_no_acc, p1=p1, p2=p2, true_w=w, xc=xc, reverse=reverse,
+                _h_no_acc, p1=p1, p2=p2, xc=xc, reverse=reverse,
                 ct=ct, use_roll=use_roll, out_hwd=True,
             )
         return pl.pallas_call(
@@ -569,7 +659,7 @@ def sgm_wta_fused_pallas(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
             scratch_shapes=[pltpu.VMEM((br, d), ct)],
-            input_output_aliases={1: 0} if accumulate else {},
+            input_output_aliases={2: 0} if accumulate else {},
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(*args)
@@ -584,21 +674,22 @@ def sgm_wta_fused_pallas(
         carry = lambda: pltpu.VMEM((wp, d), ct)
         return pl.pallas_call(
             functools.partial(
-                _v_kernel, p1=p1, p2=p2, true_h=h, true_w=w,
+                _v_kernel, p1=p1, p2=p2,
                 diag=diag, bh=bh, up=False, ct=ct, use_roll=use_roll,
             ),
             grid=(nb,),
             in_specs=[
+                _SMEM_SPEC,
                 pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
             scratch_shapes=[carry(), carry(), carry()],
-            input_output_aliases={1: 0},
+            input_output_aliases={2: 0},
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
-        )(cost, acc)
+        )(bounds, cost, acc)
 
     def v_up_fused(acc):
         # bh is forced to 8 here: the 2D output blocks [BH, W] need an
@@ -610,12 +701,13 @@ def sgm_wta_fused_pallas(
         carry = lambda: pltpu.VMEM((wp, d), ct)
         return pl.pallas_call(
             functools.partial(
-                _v_fused_kernel, p1=p1, p2=p2, true_h=h, true_w=w,
+                _v_fused_kernel, p1=p1, p2=p2,
                 diag=diag, bh=bhf, ct=ct, use_roll=use_roll, cfg=cfg,
-                interpret=interpret, x_offset=x_offset,
+                interpret=interpret, image_width=image_width,
             ),
             grid=(nbf,),
             in_specs=[
+                _SMEM_SPEC,
                 pl.BlockSpec((bhf, wp, d), im3, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bhf, wp, d), im3, memory_space=pltpu.VMEM),
             ],
@@ -630,7 +722,7 @@ def sgm_wta_fused_pallas(
             scratch_shapes=[carry(), carry(), carry()],
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
-        )(cost, acc)
+        )(bounds, cost, acc)
 
     if cost_whd is None:
         cost_whd = jnp.transpose(cost, (1, 0, 2))

@@ -55,21 +55,50 @@ def build_exact_pipeline(
     cfg: StereoConfig,
     mesh: Mesh,
     donate: bool = False,
+    dplane_cost: bool = False,
 ):
     """Jitted ``(left, right) -> StereoResult`` distributed over ``mesh``.
 
     Inputs arrive row-sharded; outputs are replicated (the "all-gather
     per-tile disparity maps" of BASELINE.json:5, realized as an XLA
     all_gather inserted by the output sharding).
+
+    ``dplane_cost=True`` enables P3 disparity-plane sharding (SURVEY.md
+    §2.2): the cost volume is built D-SHARDED over all mesh devices —
+    each device materializes only its D/n_devices disparity slab, bounding
+    per-device memory during construction of e.g. the 1.5G-cell config-4
+    volume — then XLA all_to_alls it to the spatial shardings the SGM
+    pass families request. SGM itself is never D-sharded: the recurrence's
+    per-step min_k couples all disparities, so a D-sharded scan would need
+    a collective per pixel step (the trade-off SURVEY.md P3 documents;
+    hence "default OFF"). WTA-only configs (num_paths=0) stay D-sharded
+    through selection, where XLA turns the lane reductions into a
+    cross-device (min, argmin) combine. Output is bit-identical either
+    way — sharding annotations move data, not values.
     """
     rows_local, cols_local = _annotators(mesh)
+    if dplane_cost:
+        axes = ("ty", "tx")
+
+        def dplanes(vol):
+            return jax.lax.with_sharding_constraint(
+                vol, NamedSharding(mesh, P(None, None, axes))
+            )
+
+        # Cost planes need full rows of both images (plane d reads right
+        # pixels x - d), so inputs stay replicated in dplane mode.
+        constrain = (rows_local, cols_local, dplanes)
+        in_annotate = lambda t: jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, P())
+        )
+    else:
+        constrain = (rows_local, cols_local)
+        in_annotate = rows_local
 
     def fn(left, right):
-        left = rows_local(left)
-        right = rows_local(right)
-        return compute_disparity(
-            left, right, cfg, constrain=(rows_local, cols_local)
-        )
+        left = in_annotate(left)
+        right = in_annotate(right)
+        return compute_disparity(left, right, cfg, constrain=constrain)
 
     out_sharding = StereoResult(
         disp=NamedSharding(mesh, P()), valid=NamedSharding(mesh, P())

@@ -156,9 +156,15 @@ def make_tile_fn(
         # disparity values: running it inside the extended tile would
         # mix disparities computed at out-of-image replica pixels,
         # whereas the untiled pipeline replicates the edge *disparity*.
+        # Passing the rectangular frame coordinates (offsets + extents)
+        # instead of only the dense mask lets the fused Pallas kernels run
+        # per tile with traced frame bounds (ops/pallas/sgm_kernel.py
+        # frame_bounds) — the dense mask is the same rectangle and is
+        # still used by the golden path and for the output crop below.
         cfg_tile = cfg.replace(median_filter=False)
         res = compute_disparity(
-            l_ext, r_ext, cfg_tile, valid=valid, x_offset=x0, image_width=w
+            l_ext, r_ext, cfg_tile, valid=valid, x_offset=x0, image_width=w,
+            y_offset=y0, image_height=h,
         )
         crop = (
             slice(halo_y, halo_y + bh),

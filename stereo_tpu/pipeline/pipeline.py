@@ -42,28 +42,41 @@ class StereoResult(NamedTuple):
     valid: jnp.ndarray
 
 
-def _use_pallas(cfg: StereoConfig, valid, constrain) -> bool:
+def _pallas_mode(cfg: StereoConfig, valid, constrain, rect: bool = False):
     """Backend dispatch (SURVEY.md §2.1: every hot op has a jnp golden AND a
     Pallas TPU kernel behind the same signature).
 
-    The Pallas SGM path runs for full-frame aggregation on a real TPU;
-    masked (tiled-halo) and sharding-constrained (exact-reshard) calls and
-    adaptive-P2 configs use the golden lax.scan implementation.
+    The Pallas SGM path runs on a real TPU for full-frame aggregation and
+    for RECTANGULAR-frame tiles (``rect``: the caller passed tile offsets +
+    global frame extents, so any ``valid`` mask is exactly the in-frame
+    rectangle — parallel/tiling.py's halo tiles). Arbitrarily-masked and
+    sharding-constrained (exact-reshard) calls and adaptive-P2 configs use
+    the golden lax.scan implementation.
+
+    Returns None (golden) or an ``interpret`` bool for the Pallas kernels
+    (backend="pallas_interpret" runs them in interpreter mode — CPU CI for
+    the tiled fast path).
     """
     if cfg.backend == "jnp":
-        return False
-    if valid is not None or constrain is not None or cfg.adaptive_p2:
-        if cfg.backend == "pallas":
+        return None
+    forced = cfg.backend in ("pallas", "pallas_interpret")
+    blocked = (
+        constrain is not None
+        or cfg.adaptive_p2
+        or (valid is not None and not rect)
+    )
+    if blocked:
+        if forced:
             raise NotImplementedError(
                 "pallas backend does not support masked/constrained/"
                 "adaptive-P2 aggregation yet; use backend='auto' or 'jnp'"
             )
-        return False
+        return None
     if cfg.num_paths == 0:
-        return False
-    if cfg.backend == "pallas":
-        return True
-    return jax.default_backend() == "tpu"
+        return None
+    if forced:
+        return cfg.backend == "pallas_interpret"
+    return False if jax.default_backend() == "tpu" else None
 
 
 def _aggregate(
@@ -71,7 +84,15 @@ def _aggregate(
 ):
     """Cost volume + SGM for one reference view. Returns [H, W, D] int."""
     vol = cost_volume(left, right, cfg, x_offset=x_offset)
-    if _use_pallas(cfg, valid, constrain):
+    if constrain is not None and len(constrain) > 2 and constrain[2] is not None:
+        # Cost-volume placement hook: P3 disparity-plane sharding
+        # (parallel/exact.py dplane_cost) annotates the freshly built
+        # volume D-sharded; XLA inserts the all_to_all to the spatial
+        # shardings the SGM pass families request below.
+        vol = constrain[2](vol)
+        constrain = constrain[:2]
+    mode = _pallas_mode(cfg, valid, constrain)
+    if mode is not None:
         from ..ops.pallas.sgm_kernel import sgm_aggregate_pallas
 
         # int16 halves SGM's HBM traffic; bounds hold for census and the
@@ -79,7 +100,7 @@ def _aggregate(
         # Downstream reductions consume S as f32 (integer VPU ops are ~3x
         # slower on v5e; the cast fuses into the WTA/LR sweeps and values
         # stay exact below 2^24).
-        s16 = sgm_aggregate_pallas(vol.astype(jnp.int16), cfg)
+        s16 = sgm_aggregate_pallas(vol.astype(jnp.int16), cfg, interpret=mode)
         return s16.astype(jnp.float32)
     if jax.default_backend() == "tpu":
         # Same f32 speedup for the golden path (tiled/constrained/adaptive
@@ -96,6 +117,8 @@ def compute_disparity(
     constrain=None,
     x_offset=0,
     image_width: Optional[int] = None,
+    y_offset=0,
+    image_height: Optional[int] = None,
 ) -> StereoResult:
     """Full pipeline on a rectified pair.
 
@@ -108,6 +131,12 @@ def compute_disparity(
         width — identity frame by default; tiled runs pass tile coordinates
         so disparity-range masking and LR framing match the untiled
         pipeline bit-exactly.
+      y_offset / image_height: same for the y axis. Passing image_height
+        declares this block a RECTANGULAR tile of a larger frame whose
+        valid mask (if any) is exactly the in-frame rectangle — that lets
+        the fused Pallas kernels run with frame bounds instead of falling
+        back to the golden masked path (offsets may be traced shard_map
+        tile origins).
 
     Returns: StereoResult(disp [H, W] f32, valid [H, W] bool).
     """
@@ -117,31 +146,48 @@ def compute_disparity(
             f"left {left.shape} vs right {right.shape}"
         )
 
-    if _use_pallas(cfg, valid, constrain) and not cfg.lr_exact:
+    rect = image_height is not None
+    mode = _pallas_mode(cfg, valid, constrain, rect=rect)
+    if mode is not None and not cfg.lr_exact:
         # Fully fused fast path: SGM + WTA + subpixel + uniqueness +
         # LR-check inside the final Pallas pass; the summed volume is never
         # materialized in its final form (BASELINE.json:5). Bit-exact vs
         # the staged golden path (tests/ops/test_pallas_fused.py).
-        from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
+        from ..ops.pallas.sgm_kernel import frame_bounds, sgm_wta_fused_pallas
 
-        static_off = isinstance(x_offset, int)
-        if cfg.cost_fn == "census" and static_off:
+        interpret = mode
+        th, tw = left.shape
+        static_off = isinstance(x_offset, int) and not rect
+        if rect:
+            iw = image_width if image_width is not None else tw
+            bounds = frame_bounds(
+                th, tw, x_offset=x_offset, y_offset=y_offset,
+                image_width=iw, image_height=image_height,
+            )
+        else:
+            iw = image_width
+            bounds = None
+        if cfg.cost_fn == "census" and (static_off or rect):
             # Pallas cost kernel emits both volume layouts (the transposed
             # copy feeds the horizontal SGM passes directly). Static patch
-            # origins (parallel/bands.py) thread straight into the kernels.
+            # origins (parallel/bands.py) and traced tile origins
+            # (parallel/tiling.py) thread straight into the kernels.
             from ..ops.pallas.cost_kernel import census_cost_volume_pallas
 
             vol, vol_whd = census_cost_volume_pallas(
-                left, right, cfg, x_offset=x_offset
+                left, right, cfg, x_offset=x_offset, interpret=interpret,
             )
             disp, ok = sgm_wta_fused_pallas(
                 vol, cfg, cost_whd=vol_whd, true_shape=left.shape,
-                x_offset=x_offset,
+                x_offset=x_offset if static_off else 0,
+                bounds=bounds, image_width=iw, interpret=interpret,
             )
-        elif static_off:
+        elif static_off or rect:
             vol = cost_volume(left, right, cfg, x_offset=x_offset)
             disp, ok = sgm_wta_fused_pallas(
-                vol.astype(jnp.int16), cfg, x_offset=x_offset
+                vol.astype(jnp.int16), cfg,
+                x_offset=x_offset if static_off else 0,
+                bounds=bounds, image_width=iw, interpret=interpret,
             )
         else:
             vol = cost_volume(left, right, cfg, x_offset=x_offset)
@@ -154,6 +200,14 @@ def compute_disparity(
         if cfg.median_filter:
             disp = median_3x3(disp)
         return StereoResult(disp=disp, valid=ok)
+
+    if rect and valid is None:
+        # Golden path on a rectangular tile: materialize the in-frame mask.
+        ih = image_height
+        iw = image_width if image_width is not None else left.shape[1]
+        ys = y_offset + jnp.arange(left.shape[0])[:, None]
+        xs = x_offset + jnp.arange(left.shape[1])[None, :]
+        valid = (ys >= 0) & (ys < ih) & (xs >= 0) & (xs < iw)
 
     s = _aggregate(
         left, right, cfg, valid=valid, constrain=constrain, x_offset=x_offset

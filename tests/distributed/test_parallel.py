@@ -151,3 +151,55 @@ def test_patched_rows_and_cols():
     both = np.array(res2.valid) & np.array(g.valid)
     mismatch = (np.abs(np.array(res2.disp) - np.array(g.disp)) > 1)[both].mean()
     assert mismatch < 0.02, mismatch
+
+
+@pytest.mark.parametrize("seed", [2, 7])
+def test_halo_mode_pallas_matches_golden_tiles(mesh42, seed):
+    """The fused Pallas fast path inside halo tiles (traced frame bounds,
+    ops/pallas/sgm_kernel.py) must reproduce the golden-tiled output
+    bit-for-bit on the assembled frame: inside each tile's kept region the
+    masked recurrences are identical, and every cropped position where the
+    two backends legitimately diverge (halo strips, padding) is discarded
+    by the tile crop + global crop. Seed 2 regression-covers the cost
+    kernel's local-underflow clamp (x - d off the tile's left edge but
+    globally in-frame must clamp to the tile's column 0 like the golden
+    _shifted_stack, not roll-wrap)."""
+    pair = make_pair((64, 96), max_disp=10, kind="shapes", seed=seed)
+    cfg = StereoConfig(
+        num_disparities=16, num_paths=8, subpixel=True, lr_check=True
+    )
+    fn_g = build_halo_pipeline(cfg.replace(backend="jnp"), mesh42)
+    fn_p = build_halo_pipeline(cfg.replace(backend="pallas_interpret"), mesh42)
+    dg, vg = fn_g(pair.left, pair.right)
+    dp, vp = fn_p(pair.left, pair.right)
+    np.testing.assert_array_equal(np.array(vp), np.array(vg))
+    np.testing.assert_allclose(np.array(dp), np.array(dg), atol=1e-5)
+
+
+def test_dplane_cost_sharding_bit_identical(mesh42):
+    """P3 disparity-plane sharding: the cost volume is built D-sharded
+    over all 8 devices, then XLA all_to_alls it to the spatial shardings
+    the SGM pass families request — values must be bit-identical to the
+    single-device golden pipeline (shardings move data, not values)."""
+    pair = make_pair((48, 64), max_disp=10, kind="shapes", seed=11)
+    cfg = StereoConfig(num_disparities=16, num_paths=8, subpixel=True)
+    fn = build_exact_pipeline(cfg, mesh42, dplane_cost=True)
+    disp, valid = fn(pair.left, pair.right)
+    g_disp, g_valid = _golden(pair, cfg)
+    np.testing.assert_array_equal(np.array(disp), g_disp)
+    np.testing.assert_array_equal(np.array(valid), g_valid)
+
+
+def test_dplane_cost_sharding_wta_only(mesh42):
+    """num_paths=0 stays D-sharded through WTA selection: XLA realizes the
+    argmin over the sharded D axis as a cross-device (min, argmin)
+    combine. Exercises the P3 path with no spatial reshard at all."""
+    pair = make_pair((48, 64), max_disp=10, kind="slant", seed=12)
+    cfg = StereoConfig(
+        num_disparities=16, num_paths=0, subpixel=True, median_filter=False
+    )
+    fn = build_exact_pipeline(cfg, mesh42, dplane_cost=True)
+    disp, valid = fn(pair.left, pair.right)
+    g_disp, g_valid = _golden(pair, cfg)
+    np.testing.assert_array_equal(np.array(disp), g_disp)
+    np.testing.assert_array_equal(np.array(valid), g_valid)

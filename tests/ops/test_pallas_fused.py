@@ -65,3 +65,52 @@ def test_epilogue_shift_compiled_matches_gather():
             a = np.array(_epilogue_shift(mat, base, wp, True, sign))
             b = np.array(_epilogue_shift(mat, base, wp, False, sign))
             np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("paths", [4, 8])
+@pytest.mark.parametrize("lr", [True, False])
+def test_fused_rect_tile_matches_masked_golden(paths, lr):
+    """Pipeline dispatch on a rectangular tile of a larger frame: the
+    backend="pallas_interpret" fused path (traced frame bounds) must match
+    the golden masked pipeline inside the rectangle.
+
+    The comparison excludes the D-wide right margin when the cheap LR
+    re-index is active: there the golden path clamps S_R samples to the
+    tile edge while the fused roll wraps — both are halo-only artifacts
+    the tiling caller crops (its x_hi halo is widened by D exactly so the
+    kept region never references that margin).
+    """
+    import jax.numpy as jnp
+
+    from stereo_tpu.pipeline.pipeline import compute_disparity
+
+    rng = np.random.default_rng(paths)
+    h, w, d = 24, 48, 16
+    left = rng.integers(0, 255, size=(h, w)).astype(np.uint8)
+    right = np.roll(left, 3, axis=1)
+    cfg = StereoConfig(
+        num_paths=paths, p1=3, p2=20, num_disparities=d,
+        subpixel=True, lr_check=lr, median_filter=False,
+    )
+    y0, x0, ih, iw = -4, -6, 18, 80
+
+    got = compute_disparity(
+        jnp.asarray(left), jnp.asarray(right),
+        cfg.replace(backend="pallas_interpret"),
+        x_offset=x0, image_width=iw, y_offset=y0, image_height=ih,
+    )
+    want = compute_disparity(
+        jnp.asarray(left), jnp.asarray(right),
+        cfg.replace(backend="jnp"),
+        x_offset=x0, image_width=iw, y_offset=y0, image_height=ih,
+    )
+
+    ys = y0 + np.arange(h)[:, None]
+    xs = x0 + np.arange(w)[None, :]
+    rect = (ys >= 0) & (ys < ih) & (xs >= 0) & (xs < iw)
+    if lr:
+        rect = rect & (np.arange(w)[None, :] < w - d)
+    np.testing.assert_array_equal(np.array(got.valid)[rect],
+                                  np.array(want.valid)[rect])
+    np.testing.assert_allclose(np.array(got.disp)[rect],
+                               np.array(want.disp)[rect], atol=1e-5)

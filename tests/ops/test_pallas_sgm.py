@@ -47,3 +47,40 @@ def test_pallas_sgm_zero_penalties():
     cfg = StereoConfig(num_paths=8, p1=0, p2=0)
     got = np.array(sgm_aggregate_pallas(cost, cfg, interpret=True))
     np.testing.assert_array_equal(got, cost * 8)
+
+
+@pytest.mark.parametrize("paths", [4, 8])
+def test_pallas_sgm_rect_bounds_matches_masked_golden(paths):
+    """Traced frame bounds == golden rectangular valid mask, inside the rect.
+
+    The tiled-halo pipeline (parallel/tiling.py) only ever produces
+    rectangular masks; carries must fresh-start at the rectangle's edges
+    exactly like the golden masked recurrence. Outside the rectangle the
+    kernel holds garbage by design (the caller crops), so the comparison
+    is restricted to the in-frame region.
+    """
+    import jax.numpy as jnp
+
+    from stereo_tpu.ops.pallas.sgm_kernel import frame_bounds
+
+    rng = np.random.default_rng(paths + 10)
+    h, w, d = 24, 40, 16
+    cost = rng.integers(0, 25, size=(h, w, d)).astype(np.int32)
+    cfg = StereoConfig(num_paths=paths, p1=3, p2=20)
+
+    # Tile sits at global (y0, x0) = (-5, -7) of a 30 x 60 frame: the top
+    # and left strips are out-of-frame, and the frame's bottom edge cuts
+    # through the tile (y_hi = 30 - (-5) = 35 > h -> clipped; use an
+    # interior cut instead via image_height).
+    y0, x0, ih, iw = -5, -7, 17, 29
+    b = frame_bounds(h, w, x_offset=x0, y_offset=y0,
+                     image_width=iw, image_height=ih)
+    got = np.array(sgm_aggregate_pallas(cost, cfg, interpret=True, bounds=b))
+
+    ys = y0 + np.arange(h)[:, None]
+    xs = x0 + np.arange(w)[None, :]
+    rect = (ys >= 0) & (ys < ih) & (xs >= 0) & (xs < iw)
+    want = np.array(
+        sgm_aggregate(cost, cfg, valid=jnp.asarray(rect))
+    )
+    np.testing.assert_array_equal(got[rect], want[rect])
