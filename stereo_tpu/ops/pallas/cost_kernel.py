@@ -63,17 +63,24 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
     sub_d = jax.lax.broadcasted_iota(jnp.int32, (d, xc), 0)
     # invalid where GLOBAL x - d < 0 (b_ref[4]: the block's global origin)
     invalid = (b_ref[4] + j * xc + lane_x) < sub_d
-    # LOCAL underflow (x - d < 0 within this block but globally in-frame —
-    # only possible on interior tiles, whose global origin is positive):
-    # the golden _shifted_stack clamps the sample to the block's column 0,
-    # so the kernel must too — the roll would wrap garbage in from the
-    # right. Possible only in chunk 0 (xc >= D by plan_dims).
-    local_under = (j * xc + lane_x) < sub_d
 
-    ctxs = [
-        jnp.concatenate([cr_prev_ref[k], cr_cur_ref[k]], axis=1)  # [BH,2XC]
-        for k in range(words)
-    ]
+    # Chunk 0 has no previous chunk (its im_prev aliases itself): samples
+    # at LOCAL x - d < 0 must clamp to the block's column-0 descriptor —
+    # exactly the golden _shifted_stack's clamp — or the roll wraps in
+    # garbage from the block's right. Matters on interior tiles (positive
+    # global origin), where local underflow is NOT globally invalid.
+    # Patching the prev half keeps every broadcast single-axis (Mosaic
+    # cannot broadcast in sublanes and lanes at once). Chunks j > 0 read
+    # at most d - 1 <= xc real columns back into their true predecessor.
+    is_first = j == 0
+    ctxs = []
+    for k in range(words):
+        prev = cr_prev_ref[k]                                   # [BH, XC]
+        cur = cr_cur_ref[k]
+        col0 = jnp.broadcast_to(cur[:, :1], prev.shape)
+        ctxs.append(
+            jnp.concatenate([jnp.where(is_first, col0, prev), cur], axis=1)
+        )                                                       # [BH, 2XC]
 
     rows = []
     rows_t = []
@@ -90,7 +97,6 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
             else:
                 shifted = pltpu.roll(ctx_row, 0, 1, stride=1, stride_axis=0)
             win = shifted[:, xc:]                           # [D, XC]
-            win = jnp.where(local_under, ctx_row[:, xc : xc + 1], win)
             clr = jnp.broadcast_to(cl_ref[k][r : r + 1], (d, xc))
             pc = pc + _popcount(jnp.bitwise_xor(clr, win))
         pc = jnp.where(invalid, maxc, pc).astype(out_ref.dtype)

@@ -426,19 +426,29 @@ def _epilogue_shift(mat, base_shift, wp, interpret, sign=1):
     return mat
 
 
-def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref,
+def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref, aux_ref,
                     vc_ref, d1c_ref, d2c_ref,
                     *, p1, p2, diag, bh, ct, use_roll, cfg,
                     interpret, image_width):
     """Bottom-up vertical pass + FULL selection epilogue, never writing S.
 
     Per row, after summing the up paths onto the forward accumulator:
-    WTA argmin, parabola subpixel, uniqueness gate, right-view WTA via a
-    strided-roll anti-diagonal restack (S_R(x,d) = S(x+d,d)), and the
-    integer LR consistency check — all lane reductions and rolls, no
-    gathers. Reduction results are naturally [W, 1] columns; the block's
-    columns are collected and transposed once into a row-major [BH, W]
-    output tile.
+    WTA argmin, parabola subpixel, uniqueness gate, and the right-view WTA
+    via a strided-roll anti-diagonal restack (S_R(x,d) = S(x+d,d)) — all
+    lane reductions and rolls, no gathers. Reduction results are naturally
+    [W, 1] columns; the block's columns are collected and transposed once
+    into row-major [BH, W] output tiles.
+
+    Cost/argmin pairs ride ONE packed f32 value q = s * D + lane (exact:
+    8-path sums stay below 2^15, so q < 2^24): its lane-min IS the
+    first-winner argmin (ties break to the smaller lane), halving the WTA
+    reductions, and the SAME packed matrix feeds the anti-diagonal shift
+    pyramid so the right-view min and argmin come out of one reduction.
+    The integer LR compare itself happens OUTSIDE the kernel on compact
+    [H, W] maps (aux_ref packs d_r * 256 + d0): the golden lr_consistency
+    gather on 2-D maps is cheap in XLA — it was the [H, W, D] volume
+    gathers that were catastrophic — and it drops the second, opposite-
+    direction shift pyramid the in-kernel compare needed.
     """
     pid = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -456,13 +466,20 @@ def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref,
     diag_a_fresh = x_iota <= x_lo
     diag_b_fresh = x_iota >= x_hi - 1
     oof_right = x0 + x_iota + lane >= image_width
-    xmd = x0 + x_iota[:, :1] - md
+    # Packing radix: the smallest power of two >= D, so pack/unpack are
+    # exact float ops (s * pd + lane < 2^15 * 2^9 <= 2^24).
+    pd = 1 << max(0, (d - 1).bit_length())
+    pdf = jnp.float32(pd)
+    inv_pd = jnp.float32(1.0 / pd)
 
     v = vc_ref[:]
     d1 = d1c_ref[:] if diag else None
     d2 = d2c_ref[:] if diag else None
     disp_cols = [None] * bh
     valid_cols = [None] * bh
+    aux_cols = [None] * bh
+    df = jnp.float32(d)
+    lane_f = lane.astype(jnp.float32)
     for r in range(bh - 1, -1, -1):
         c = cost_ref[r].astype(ct)
         grow = block * bh + r
@@ -486,62 +503,56 @@ def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref,
 
         s_row = acc_ref[r].astype(jnp.float32) + acc.astype(jnp.float32)
 
-        # --- WTA + subpixel + uniqueness (lane reductions) ---
-        c0 = jnp.min(s_row, axis=1, keepdims=True)                 # [W,1]
-        d0 = jnp.min(
-            jnp.where(s_row == c0, lane, d), axis=1, keepdims=True
-        )                                                          # [W,1]
+        # --- WTA: ONE packed lane reduction gives (cost, first-argmin);
+        # ties break to the smaller lane exactly like the golden masked
+        # iota reduction. All values integer-exact in f32. ---
+        q = s_row * pdf + lane_f
+        q0 = jnp.min(q, axis=1, keepdims=True)                     # [W,1]
+        c0 = jnp.floor(q0 * inv_pd)
+        d0 = q0 - c0 * pdf                                         # [W,1]
         ok = jnp.ones((w, 1), dtype=jnp.int32)
         if cfg.uniqueness_ratio > 0:
-            near = jnp.abs(lane - d0) <= 1
+            near = jnp.abs(lane_f - d0) <= 1.0
             c2 = jnp.min(jnp.where(near, BIG, s_row), axis=1, keepdims=True)
             ok = ok * (c2 > c0 * (1.0 + cfg.uniqueness_ratio)).astype(
                 jnp.int32
             )
-        disp_row = d0.astype(jnp.float32)
+        disp_row = d0
         if cfg.subpixel and d > 1:
             cm = jnp.min(
-                jnp.where(lane == d0 - 1, s_row, BIG), axis=1, keepdims=True
+                jnp.where(lane_f == d0 - 1.0, s_row, BIG),
+                axis=1, keepdims=True,
             )
             cp = jnp.min(
-                jnp.where(lane == d0 + 1, s_row, BIG), axis=1, keepdims=True
+                jnp.where(lane_f == d0 + 1.0, s_row, BIG),
+                axis=1, keepdims=True,
             )
             denom = cp + cm - 2.0 * c0
             offset = jnp.where(
                 denom > 0, (cm - cp) / (2.0 * jnp.maximum(denom, 1.0)), 0.0
             )
             offset = jnp.clip(offset, -0.5, 0.5)
-            interior = (d0 > 0) & (d0 < d - 1)
+            interior = (d0 > 0) & (d0 < df - 1)
             disp_row = disp_row + jnp.where(interior, offset, 0.0)
         disp_row = disp_row + jnp.float32(md)
 
         if cfg.lr_check:
-            # Right-view volume: S_R(x, d) = S(x + d, d) — one strided
-            # sublane roll; samples beyond the GLOBAL frame masked huge
-            # (x0: this block's global x origin, matching the golden
-            # right_disparity_from_volume oof mask).
-            s_r = _epilogue_shift(s_row, 0, w, interpret, sign=-1)
-            s_r = jnp.where(oof_right, BIG, s_r)
-            mr = jnp.min(s_r, axis=1, keepdims=True)
-            d_r = jnp.min(
-                jnp.where(s_r == mr, lane, d), axis=1, keepdims=True
-            )                                                      # [W,1]
-            # A[x, d] = d_R(x - md - d); compare at the winner lane. (A
-            # per-sublane variable shift of the [W,1] column CANNOT replace
-            # this: destination-dependent shifts do not compose through
-            # sequential gated rolls — the matrix form works because each
-            # lane's shift equals its constant lane index.)
-            a = _epilogue_shift(
-                jnp.broadcast_to(d_r, (w, d)), md, w, interpret
-            )
-            diff_w = jnp.min(
-                jnp.where(lane == d0, jnp.abs(d0 - a), 10**6),
-                axis=1, keepdims=True,
-            )
-            in_frame = (xmd - d0) >= 0
-            ok = ok * (
-                (diff_w <= cfg.lr_tau) & in_frame
-            ).astype(jnp.int32)
+            # Right-view (min, argmin) from ONE anti-diagonal restack of
+            # the SAME packed matrix: Q_R(x, d) = S(x+d, d)*PD + d, so one
+            # lane-min unpacks to the right-view winner with golden
+            # first-min ties. Samples beyond the GLOBAL frame are masked
+            # huge (x0: block's global x origin); rows with every lane
+            # masked take winner 0, matching the golden argmin-over-big.
+            # The |d_L - d_R| compare runs OUTSIDE the kernel on [H, W]
+            # maps (see wrapper) — no second, opposite-direction pyramid.
+            q_r = _epilogue_shift(q, 0, w, interpret, sign=-1)
+            q_r = jnp.where(oof_right, BIG, q_r)
+            m_r = jnp.min(q_r, axis=1, keepdims=True)              # [W,1]
+            d_r = m_r - jnp.floor(m_r * inv_pd) * pdf
+            d_r = jnp.where(m_r < BIG, d_r, 0.0)
+            aux_cols[r] = (d_r * pdf + d0).astype(jnp.int32)
+        else:
+            aux_cols[r] = d0.astype(jnp.int32)
 
         disp_cols[r] = disp_row
         valid_cols[r] = ok
@@ -553,6 +564,7 @@ def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref,
     # (output blocks must keep >=8x128-tileable trailing dims).
     disp_ref[:] = jnp.concatenate(disp_cols, axis=1).T
     valid_ref[:] = jnp.concatenate(valid_cols, axis=1).T
+    aux_ref[:] = jnp.concatenate(aux_cols, axis=1).T
 
 
 def sgm_wta_fused_pallas(
@@ -714,9 +726,11 @@ def sgm_wta_fused_pallas(
             out_specs=[
                 pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((hp, wp), jnp.int32),
                 jax.ShapeDtypeStruct((hp, wp), jnp.int32),
             ],
             scratch_shapes=[carry(), carry(), carry()],
@@ -733,7 +747,22 @@ def sgm_wta_fused_pallas(
     s_acc = h_call(False, None, cost_whd)
     s_acc = h_call(True, s_acc, cost_whd)
     s_acc = v_down(s_acc)
-    disp_o, valid_o = v_up_fused(s_acc)
+    disp_o, valid_o, aux_o = v_up_fused(s_acc)
     disp = disp_o[:h, :w]
     valid = valid_o[:h, :w].astype(bool)
+    if cfg.lr_check:
+        # Integer LR compare on compact [H, W] maps — the kernel packed
+        # (right winner, left winner) as d_r * PD + d0. 2-D row gathers
+        # are cheap in XLA (it is [H, W, D] volume gathers that are
+        # catastrophic on TPU); this matches the golden lr_consistency /
+        # right_disparity_from_volume pair bit-exactly.
+        from ..postprocess import lr_consistency
+
+        pd = 1 << max(0, (d - 1).bit_length())
+        aux = aux_o[:h, :w]
+        d_r = (aux // pd).astype(jnp.float32) + cfg.min_disparity
+        d0i = (aux % pd).astype(jnp.float32) + cfg.min_disparity
+        valid = valid & lr_consistency(
+            d0i, d_r, cfg, x_offset=bounds[4], image_width=image_width
+        )
     return disp, valid

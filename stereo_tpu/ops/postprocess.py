@@ -67,17 +67,38 @@ def lr_consistency(
     its right-image correspondence is in frame (globally, when the block is
     a tile of a larger image).
 
+    Gather-free: ``take_along_axis`` on the [H, W] maps lowers to an XLA
+    gather measuring ~5.4 ms/frame at KITTI scale on TPU (2-D gathers are
+    as pathological as the 3-D volume ones, SURVEY.md §7 hard-part 5).
+    Since the lookup offset is always one of the D disparity integers,
+    d_R(x - d_L) is instead a one-hot select over the D shifted copies of
+    the right map — plain slices + one [H, W, D] elementwise sweep, ~1 ms.
+    Winners outside [min_disparity, min_disparity + D) (possible only for
+    out-of-contract inputs) clamp to the nearest disparity plane.
+
     Returns: [H, W] bool validity.
     """
+    import jax
+
     h, w = disp_l.shape
     if image_width is None:
         image_width = w
+    d = cfg.num_disparities
+    md = int(cfg.min_disparity)
     xs = jnp.arange(w)[None, :]
     xr = jnp.round(xs - disp_l).astype(jnp.int32)
     xr_global = x_offset + xr
     in_frame = (xr_global >= 0) & (xr_global < image_width)
-    xr_c = jnp.clip(xr, 0, w - 1)
-    d_r_at = jnp.take_along_axis(disp_r, xr_c, axis=1)
+
+    shift = jnp.clip(xs - xr, md, md + d - 1)        # == round(d_L) in range
+
+    def plane(dd):
+        idx = jnp.clip(jnp.arange(w) - dd, 0, w - 1)
+        return jnp.take(disp_r, idx, axis=1)         # [H, W] slice-shift
+
+    stack = jax.vmap(plane, out_axes=2)(md + jnp.arange(d))   # [H, W, D]
+    onehot = shift[:, :, None] == (md + jnp.arange(d))[None, None, :]
+    d_r_at = jnp.sum(jnp.where(onehot, stack, 0), axis=-1)
     ok = jnp.abs(disp_l - d_r_at) <= cfg.lr_tau
     return ok & in_frame
 
