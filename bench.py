@@ -153,6 +153,49 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
     from stereo_tpu.models import get_model
     from stereo_tpu.utils.timing import chained_seconds_per_call
 
+    # Config 4 first: single-chip row+column patches over the full-res
+    # 2880x1988 x 256 volume (parallel/bands.py; the whole volume exceeds
+    # one chip's sane working set and huge W*D slabs crash the remote
+    # Mosaic helper — SURVEY.md §7 hard-part 5 / CLAUDE.md).
+    from stereo_tpu.parallel import build_banded_pipeline
+
+    shape4 = (96, 160) if quick else (1988, 2880)
+    cfg4 = PRESETS["middlebury_full_256_tiled"]
+    if quick:
+        cfg4 = cfg4.replace(num_disparities=16)
+    pair4 = make_pair(shape4, max_disp=12 if quick else 200, kind="shapes",
+                      texture="cloud", seed=0)
+    fn4 = build_banded_pipeline(
+        cfg4, shape4, n_bands=2 if quick else 4, n_cols=1 if quick else 3
+    )
+    sec4 = chained_seconds_per_call(
+        lambda l, r: fn4(l, r), (pair4.left, pair4.right), iters=5
+    )
+    res4 = fn4(pair4.left, pair4.right)
+    q4 = evaluate_disparity(
+        np.asarray(res4.disp), pair4.gt_disp, pair4.gt_valid,
+        np.asarray(res4.valid),
+    )
+    rec4 = {
+        "metric": "middlebury_full_256_patched4x3_fps_per_chip",
+        "value": round(1.0 / sec4, 3),
+        "unit": "fps",
+        "shape": list(shape4),
+        "num_disparities": cfg4.num_disparities,
+        "num_paths": cfg4.num_paths,
+        "sec_per_frame": round(sec4, 6),
+        "bad3": round(q4["bad3"], 5),
+        "epe": round(q4["epe"], 5),
+        "density": round(q4["density"], 5),
+        "device": str(jax.devices()[0]),
+        "git_sha": sha,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "note": "single-chip row+column patches (parallel/bands.py)",
+    }
+    with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
+        f.write(json.dumps(rec4) + "\n")
+    print(json.dumps(rec4), file=sys.stderr)
+
     runs = [
         ("tsukuba_sad16", "classic", (288, 384), 14, {}),
         ("middlebury_census_sgm4_64", "classic", (555, 900), 48, {}),

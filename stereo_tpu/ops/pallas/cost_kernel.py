@@ -133,6 +133,12 @@ def census_cost_volume_pallas(
     d = cfg.num_disparities
     maxc = cfg.max_unary_cost
     words = cfg.census_words
+    # The transposed emit assembles [XC, BH, D] blocks by middle-dim
+    # concatenation, which Mosaic only lowers when D fills the 128-lane
+    # register (D=64 fails with "unsupported shape cast"). Smaller D
+    # callers transpose in XLA instead (sgm_wta_fused_pallas handles
+    # cost_whd=None).
+    emit_transposed = emit_transposed and d >= 128
 
     # [words, H, W] uint32 descriptor planes
     cl = jnp.moveaxis(census_transform(left, cfg.census_window), -1, 0)

@@ -303,6 +303,11 @@ def sgm_aggregate_pallas(
     if (hp, wp) != (h, w):
         cost = jnp.pad(cost, ((0, hp - h), (0, wp - w), (0, 0)))
     grid_h = (hp // br, wp // xc)
+    # The unrolled no-transpose output assembles [BR, XC, D] blocks by
+    # middle-dim concatenation, which Mosaic only lowers when D fills the
+    # 128-lane register; smaller D emits in the scan (W, H, D) layout via
+    # leading-dim stores and transposes once in XLA between pass families.
+    hwd = d >= 128
 
     def h_call(reverse, acc, cost_whd):
         accumulate = acc is not None
@@ -310,7 +315,7 @@ def sgm_aggregate_pallas(
         # volume (the scan axis must be untiled); OUTPUT blocks are
         # [BR, XC, D] slices of the (H, W, D) accumulator — the unrolled
         # kernel assembles them directly, so no transpose sits between the
-        # horizontal and vertical pass families.
+        # horizontal and vertical pass families (d >= 128 only, see above).
         im_in = (
             (lambda i, j: (grid_h[1] - 1 - j, i, 0))
             if reverse
@@ -320,7 +325,9 @@ def sgm_aggregate_pallas(
             (lambda i, j: (i, grid_h[1] - 1 - j, 0))
             if reverse
             else (lambda i, j: (i, j, 0))
-        )
+        ) if hwd else im_in
+        out_block = (br, xc, d) if hwd else (xc, br, d)
+        out_extent = (hp, wp, d) if hwd else (wp, hp, d)
         in_specs = [
             _SMEM_SPEC,
             pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM),
@@ -328,26 +335,26 @@ def sgm_aggregate_pallas(
         args = [bounds, cost_whd]
         if accumulate:
             in_specs.append(
-                pl.BlockSpec((br, xc, d), im_out, memory_space=pltpu.VMEM)
+                pl.BlockSpec(out_block, im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
             body = functools.partial(
                 _h_kernel, p1=p1, p2=p2, xc=xc,
                 reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
-                out_hwd=True,
+                out_hwd=hwd,
             )
         else:
             body = functools.partial(
                 _h_no_acc, p1=p1, p2=p2, xc=xc, reverse=reverse,
-                ct=ct, use_roll=use_roll, out_hwd=True,
+                ct=ct, use_roll=use_roll, out_hwd=hwd,
             )
         return pl.pallas_call(
             body,
             grid=grid_h,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((br, xc, d), im_out,
+            out_specs=pl.BlockSpec(out_block, im_out,
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
+            out_shape=jax.ShapeDtypeStruct(out_extent, dt),
             scratch_shapes=[pltpu.VMEM((br, d), ct)],
             input_output_aliases={2: 0} if accumulate else {},
             compiler_params=_VMEM_PARAMS,
@@ -386,6 +393,8 @@ def sgm_aggregate_pallas(
         cost_whd = jnp.transpose(cost, (1, 0, 2))
         s = h_call(False, None, cost_whd)
         s = h_call(True, s, cost_whd)
+        if not hwd:
+            s = jnp.transpose(s, (1, 0, 2))
     else:
         s = cost
     if "v" in _passes:
@@ -625,6 +634,9 @@ def sgm_wta_fused_pallas(
             f"padded {(hp, wp)} extents"
         )
     grid_h = (hp // br, wp // xc)
+    # See sgm_aggregate_pallas: the no-transpose [BR, XC, D] assembly needs
+    # a full 128-lane D; smaller D emits (W, H, D) and transposes in XLA.
+    hwd = d >= 128
 
     def h_call(reverse, acc, cost_whd):
         accumulate = acc is not None
@@ -632,7 +644,7 @@ def sgm_wta_fused_pallas(
         # volume (the scan axis must be untiled); OUTPUT blocks are
         # [BR, XC, D] slices of the (H, W, D) accumulator — the unrolled
         # kernel assembles them directly, so no transpose sits between the
-        # horizontal and vertical pass families.
+        # horizontal and vertical pass families (d >= 128 only, see above).
         im_in = (
             (lambda i, j: (grid_h[1] - 1 - j, i, 0))
             if reverse
@@ -642,7 +654,9 @@ def sgm_wta_fused_pallas(
             (lambda i, j: (i, grid_h[1] - 1 - j, 0))
             if reverse
             else (lambda i, j: (i, j, 0))
-        )
+        ) if hwd else im_in
+        out_block = (br, xc, d) if hwd else (xc, br, d)
+        out_extent = (hp, wp, d) if hwd else (wp, hp, d)
         in_specs = [
             _SMEM_SPEC,
             pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM),
@@ -650,26 +664,26 @@ def sgm_wta_fused_pallas(
         args = [bounds, cost_whd]
         if accumulate:
             in_specs.append(
-                pl.BlockSpec((br, xc, d), im_out, memory_space=pltpu.VMEM)
+                pl.BlockSpec(out_block, im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
             body = functools.partial(
                 _h_kernel, p1=p1, p2=p2, xc=xc,
                 reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
-                out_hwd=True,
+                out_hwd=hwd,
             )
         else:
             body = functools.partial(
                 _h_no_acc, p1=p1, p2=p2, xc=xc, reverse=reverse,
-                ct=ct, use_roll=use_roll, out_hwd=True,
+                ct=ct, use_roll=use_roll, out_hwd=hwd,
             )
         return pl.pallas_call(
             body,
             grid=grid_h,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((br, xc, d), im_out,
+            out_specs=pl.BlockSpec(out_block, im_out,
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
+            out_shape=jax.ShapeDtypeStruct(out_extent, dt),
             scratch_shapes=[pltpu.VMEM((br, d), ct)],
             input_output_aliases={2: 0} if accumulate else {},
             compiler_params=_VMEM_PARAMS,
@@ -746,6 +760,8 @@ def sgm_wta_fused_pallas(
         )
     s_acc = h_call(False, None, cost_whd)
     s_acc = h_call(True, s_acc, cost_whd)
+    if not hwd:
+        s_acc = jnp.transpose(s_acc, (1, 0, 2))
     s_acc = v_down(s_acc)
     disp_o, valid_o, aux_o = v_up_fused(s_acc)
     disp = disp_o[:h, :w]

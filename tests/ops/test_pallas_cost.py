@@ -19,9 +19,13 @@ def test_cost_kernel_matches_golden(shape, d):
     h, w = shape
     got = np.array(cost_p)[:h, :w]
     np.testing.assert_array_equal(got, want)
-    # transposed copy agrees on the real extent
-    got_t = np.array(cost_t)[:w, :h].transpose(1, 0, 2)
-    np.testing.assert_array_equal(got_t, want)
+    if d >= 128:
+        # transposed copy agrees on the real extent (only emitted for a
+        # full 128-lane D — Mosaic cannot assemble [XC, BH, D<128] blocks)
+        got_t = np.array(cost_t)[:w, :h].transpose(1, 0, 2)
+        np.testing.assert_array_equal(got_t, want)
+    else:
+        assert cost_t is None
 
 
 def test_cost_kernel_rejects_non_census():
@@ -40,6 +44,4 @@ def test_cost_kernel_multiword_census():
     cost_p, cost_t = census_cost_volume_pallas(left, right, cfg, interpret=True)
     want = np.array(census_cost_volume(left, right, cfg))
     np.testing.assert_array_equal(np.array(cost_p)[:18, :40], want)
-    np.testing.assert_array_equal(
-        np.array(cost_t)[:40, :18].transpose(1, 0, 2), want
-    )
+    assert cost_t is None  # D=16 < 128: no transposed emit
