@@ -1,26 +1,32 @@
-"""Fused census-Hamming cost-volume construction as a Pallas TPU kernel.
+"""Cost-volume construction as Pallas TPU kernels (census, rank, SAD).
 
-Reference behavior (SURVEY.md C2+C4+C5): per-pixel census descriptors,
-then cost(y, x, d) = popcount(census_l(y, x) XOR census_r(y, x - d))
-materialized as the H x W x D volume.
+Reference behavior (SURVEY.md C2+C4+C5): per-pixel descriptors (census
+bitstrings / rank counts) or raw intensities, then
+cost(y, x, d) = combine(left(y, x), right(y, x - d)) materialized as the
+H x W x D volume — optionally box-summed over the SAD window.
 
 TPU-native design:
-  * census descriptors are computed by XLA (a handful of fused elementwise
-    ops over [H, W] uint32 — not worth a kernel);
+  * census/rank descriptors are computed by XLA (a handful of fused
+    elementwise ops over [H, W] — not worth a kernel);
   * the d-shift fan-out, the actual bandwidth problem, is ONE strided lane
     roll per row: broadcast the right-descriptor row across D sublanes and
-    roll lane u of sublane dd by dd — row dd then holds census_r shifted
-    by dd, so the whole [D, XC] tile is one XOR + popcount against the
-    broadcast left row. No gathers, no per-d slices.
-  * the kernel emits BOTH volume layouts — [H, W, D] for the vertical SGM
-    passes and the transposed [W, H, D] for the horizontal passes — for
-    one extra sequential write, replacing the XLA transpose that measured
-    2.4 ms at KITTI scale.
+    roll lane u of sublane dd by dd — row dd then holds the right row
+    shifted by dd, so the whole [D, XC] tile is one combine (XOR+popcount
+    for census, |a-b| for rank/SAD) against the broadcast left row. No
+    gathers, no per-d slices.
+  * the census/rank kernel emits BOTH volume layouts — [H, W, D] for the
+    vertical SGM passes and the transposed [W, H, D] for the horizontal
+    passes — for one extra sequential write, replacing the XLA transpose
+    that measured 2.4 ms at KITTI scale.
+  * the SAD kernel fuses the d-fanout with the box filter: absolute
+    differences for a row band (+ window halos) live in VMEM once and the
+    window sum is a sliding vertical accumulator + static lane-shifted
+    adds — the [H, W, D] AD tensor is never materialized in HBM.
   * out-of-frame samples (global x - d < 0) get max_unary_cost, matching
     the golden cost_volume exactly.
 
-Oracle: stereo_tpu.ops.cost.census_cost_volume (single-word census; the
-multi-word 9x7 window and SAD fall back to the golden path).
+Oracles: stereo_tpu.ops.cost.{census,rank,sad}_cost_volume — every kernel
+is bit-exact against its golden twin (tests/ops/test_pallas_cost.py).
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import StereoConfig
-from ..census import census_transform
+from ..census import census_transform, rank_transform
 from .sgm_kernel import plan_dims
 
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * (1 << 20))
@@ -50,11 +56,14 @@ def _popcount(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
-                 *, xc, d, bh, maxc, interpret, emit_t, words=1):
+                 *, xc, d, bh, maxc, interpret, emit_t, words=1,
+                 combine="hamming"):
     """One [W?, BH, XC] descriptor tile -> [BH, XC, D] (+ [XC, BH, D]) cost.
 
     Descriptor refs carry a leading words axis; multi-word census sums the
-    per-word Hamming popcounts. b_ref is the SMEM bounds vector
+    per-word Hamming popcounts (``combine="hamming"``); the rank transform
+    uses a single int32 word and absolute differences
+    (``combine="absdiff"``). b_ref is the SMEM bounds vector
     (sgm_kernel.N_BOUNDS); b_ref[4] is the block's global x origin, which
     may be a traced tile offset.
     """
@@ -73,32 +82,40 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
     # cannot broadcast in sublanes and lanes at once). Chunks j > 0 read
     # at most d - 1 <= xc real columns back into their true predecessor.
     is_first = j == 0
+    # The strided roll (tpu.dynamic_rotate) needs a 128-aligned lane
+    # count; zero-pad the context on the right — the rolled garbage stays
+    # right of the [XC, 2XC) window because dd <= D-1 <= XC never wraps.
+    cw = 2 * xc + (-(2 * xc) % 128)
     ctxs = []
     for k in range(words):
         prev = cr_prev_ref[k]                                   # [BH, XC]
         cur = cr_cur_ref[k]
         col0 = jnp.broadcast_to(cur[:, :1], prev.shape)
-        ctxs.append(
-            jnp.concatenate([jnp.where(is_first, col0, prev), cur], axis=1)
-        )                                                       # [BH, 2XC]
+        parts = [jnp.where(is_first, col0, prev), cur]
+        if cw > 2 * xc:
+            parts.append(jnp.zeros((bh, cw - 2 * xc), cur.dtype))
+        ctxs.append(jnp.concatenate(parts, axis=1))             # [BH, CW]
 
     rows = []
     rows_t = []
     for r in range(bh):
         pc = jnp.zeros((d, xc), jnp.int32)
         for k in range(words):
-            ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (d, 2 * xc))
+            ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (d, cw))
             if interpret:
-                u = jax.lax.broadcasted_iota(jnp.int32, (d, 2 * xc), 1)
-                dd = jax.lax.broadcasted_iota(jnp.int32, (d, 2 * xc), 0)
+                u = jax.lax.broadcasted_iota(jnp.int32, (d, cw), 1)
+                dd = jax.lax.broadcasted_iota(jnp.int32, (d, cw), 0)
                 shifted = jnp.take_along_axis(
-                    ctx_row, (u - dd) % (2 * xc), axis=1
+                    ctx_row, (u - dd) % cw, axis=1
                 )
             else:
                 shifted = pltpu.roll(ctx_row, 0, 1, stride=1, stride_axis=0)
-            win = shifted[:, xc:]                           # [D, XC]
+            win = shifted[:, xc : 2 * xc]                   # [D, XC]
             clr = jnp.broadcast_to(cl_ref[k][r : r + 1], (d, xc))
-            pc = pc + _popcount(jnp.bitwise_xor(clr, win))
+            if combine == "hamming":
+                pc = pc + _popcount(jnp.bitwise_xor(clr, win))
+            else:  # absdiff (rank descriptors, int32)
+                pc = pc + jnp.abs(clr - win)
         pc = jnp.where(invalid, maxc, pc).astype(out_ref.dtype)
         rows.append(pc.T[None])                             # [1, XC, D]
         if emit_t:
@@ -108,41 +125,35 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
         out_t_ref[:] = jnp.concatenate(rows_t, axis=1)
 
 
-def census_cost_volume_pallas(
-    left: jnp.ndarray,
-    right: jnp.ndarray,
+def _roll_cost_volume(
+    cl: jnp.ndarray,
+    cr: jnp.ndarray,
     cfg: StereoConfig,
+    combine: str,
     interpret: bool = False,
     emit_transposed: bool = True,
     out_dtype=jnp.int16,
     x_offset=0,
 ):
-    """Census-Hamming cost volume on TPU.
+    """Shared roll-fanout volume builder over [words, H, W] descriptors.
 
     ``x_offset`` is the block's global x origin — column patches of a
     larger frame (parallel/bands.py) pass a static int, shard_map tiles
     (parallel/tiling.py) a traced scalar — so disparity-range invalidation
     matches the whole-frame pipeline.
 
-    Returns (cost [H, W, D], cost_whd [W, H, D] or None), int16, identical
-    to the golden census_cost_volume (any census word count).
+    Returns (cost [H, W, D], cost_whd [W, H, D] or None), identical to the
+    golden per-pixel-descriptor cost volumes.
     """
-    if cfg.cost_fn != "census":
-        raise NotImplementedError("pallas cost kernel: census only")
-    h, w = left.shape
+    words, h, w = cl.shape
     d = cfg.num_disparities
     maxc = cfg.max_unary_cost
-    words = cfg.census_words
     # The transposed emit assembles [XC, BH, D] blocks by middle-dim
     # concatenation, which Mosaic only lowers when D fills the 128-lane
     # register (D=64 fails with "unsupported shape cast"). Smaller D
     # callers transpose in XLA instead (sgm_wta_fused_pallas handles
     # cost_whd=None).
     emit_transposed = emit_transposed and d >= 128
-
-    # [words, H, W] uint32 descriptor planes
-    cl = jnp.moveaxis(census_transform(left, cfg.census_window), -1, 0)
-    cr = jnp.moveaxis(census_transform(right, cfg.census_window), -1, 0)
 
     bh = 8
     _, hp, _, wp = plan_dims(h, w, d)
@@ -167,7 +178,7 @@ def census_cost_volume_pallas(
 
     kernel = functools.partial(
         _cost_kernel, xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret,
-        emit_t=emit_transposed, words=words,
+        emit_t=emit_transposed, words=words, combine=combine,
     )
     if not emit_transposed:
         kernel = functools.partial(
@@ -175,7 +186,7 @@ def census_cost_volume_pallas(
                 b_r, cl_r, cc_r, cp_r, o_r, None, **kw
             ),
             xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret, emit_t=False,
-            words=words,
+            words=words, combine=combine,
         )
 
     bounds = jnp.stack(
@@ -199,3 +210,235 @@ def census_cost_volume_pallas(
     cost = outs[0]
     cost_t = outs[1] if emit_transposed else None
     return cost, cost_t  # PADDED [hp, wp, D] / [wp, hp, D] (plan_dims)
+
+
+def census_cost_volume_pallas(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoConfig,
+    interpret: bool = False,
+    emit_transposed: bool = True,
+    out_dtype=jnp.int16,
+    x_offset=0,
+):
+    """Census-Hamming cost volume on TPU (any census word count).
+
+    Returns (cost [H, W, D], cost_whd [W, H, D] or None), int16, identical
+    to the golden census_cost_volume.
+    """
+    if cfg.cost_fn != "census":
+        raise NotImplementedError("census cost kernel: cfg.cost_fn != census")
+    # [words, H, W] uint32 descriptor planes
+    cl = jnp.moveaxis(census_transform(left, cfg.census_window), -1, 0)
+    cr = jnp.moveaxis(census_transform(right, cfg.census_window), -1, 0)
+    return _roll_cost_volume(
+        cl, cr, cfg, "hamming", interpret=interpret,
+        emit_transposed=emit_transposed, out_dtype=out_dtype,
+        x_offset=x_offset,
+    )
+
+
+def rank_cost_volume_pallas(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoConfig,
+    interpret: bool = False,
+    emit_transposed: bool = True,
+    out_dtype=jnp.int16,
+    x_offset=0,
+):
+    """Rank-transform |rank_l - rank_r| cost volume on TPU.
+
+    Same roll-fanout kernel as census with a single int32 descriptor word
+    and an absolute-difference combine. Bit-exact vs the golden
+    rank_cost_volume.
+    """
+    if cfg.cost_fn != "rank":
+        raise NotImplementedError("rank cost kernel: cfg.cost_fn != rank")
+    rl = rank_transform(left, cfg.census_window)[None]      # [1, H, W] i32
+    rr = rank_transform(right, cfg.census_window)[None]
+    return _roll_cost_volume(
+        rl, rr, cfg, "absdiff", interpret=interpret,
+        emit_transposed=emit_transposed, out_dtype=out_dtype,
+        x_offset=x_offset,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAD block-matching kernel: d-fanout fused with the box filter.
+# ---------------------------------------------------------------------------
+
+
+def _floor_div_const(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Exact floor division of non-negative int32 by a static constant.
+
+    Mosaic has no integer divide; a float32 reciprocal multiply is exact to
+    +-1 for |x| < 2^24, and one integer correction step removes the +-1.
+    """
+    if c == 1:
+        return x
+    q = (x.astype(jnp.float32) * jnp.float32(1.0 / c)).astype(jnp.int32)
+    r = x - q * c
+    q = q + (r >= c).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return q
+
+
+def sad_kernel_supported(cfg: StereoConfig, h: int, w: int) -> bool:
+    """Whether the fused SAD kernel handles this (config, frame) pair.
+
+    The row band needs the full window height in VMEM (wy <= 17) and the
+    per-program AD slab (bh + 2*ry context rows of [D, WCTX] int32) must
+    fit comfortably; larger cases use the golden XLA path.
+    """
+    if cfg.cost_fn != "sad":
+        return False
+    wy, wx = cfg.sad_window
+    if wy % 2 == 0 or wx % 2 == 0 or wy // 2 > 8:
+        return False
+    d = cfg.num_disparities
+    if d < 8:
+        return False
+    _, hp, _, wp = plan_dims(h, w, d)
+    cpad = -(-(d + wx // 2) // 128) * 128
+    wctx = cpad + wp + wx // 2
+    wctx += -wctx % 128
+    slab = (8 + 2 * (wy // 2)) * d * wctx * 4
+    return slab <= 48 * (1 << 20)
+
+
+def _sad_kernel(b_ref, lp_ref, lc_ref, ln_ref, rp_ref, rc_ref, rn_ref,
+                out_ref, *, d, wy, wx, wp, cpad, maxc, area, w_true,
+                interpret):
+    """One 8-row output band of the SAD volume, box filter fused in.
+
+    Input refs are [BH, WCTX] int32 rows of the EDGE-PADDED images
+    (previous / current / next row blocks supply the +-ry window halo; the
+    cpad left columns replicate column 0 so the per-sublane roll lands on
+    the golden clamp R[max(x-d, 0)], and the right columns replicate
+    column w-1). b_ref[0] is the block's global x origin (possibly a
+    traced tile offset) for disparity-range invalidation.
+
+    The golden box filter edge-replicates the AD array itself, so lanes
+    beyond the frame edge are patched to the AD at column w-1 before
+    summing — that is the one place replicated-image AD differs from
+    replicated-AD.
+    """
+    bh = 8
+    ry, rx = wy // 2, wx // 2
+    wctx = lc_ref.shape[1]
+    edge_lane = cpad + w_true - 1
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, wctx), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (d, wctx), 0)
+
+    def ctx_row(refs, r_off):
+        off = bh - ry + r_off
+        if off < bh:
+            return refs[0][off : off + 1]
+        if off < 2 * bh:
+            return refs[1][off - bh : off - bh + 1]
+        return refs[2][off - 2 * bh : off - 2 * bh + 1]
+
+    ad_rows = []
+    for r_off in range(bh + 2 * ry):
+        lrow = ctx_row((lp_ref, lc_ref, ln_ref), r_off)     # [1, WCTX]
+        rrow = ctx_row((rp_ref, rc_ref, rn_ref), r_off)
+        rctx = jnp.broadcast_to(rrow, (d, wctx))
+        if interpret:
+            shifted = jnp.take_along_axis(rctx, (lane - sub) % wctx, axis=1)
+        else:
+            shifted = pltpu.roll(rctx, 0, 1, stride=1, stride_axis=0)
+        ad = jnp.abs(jnp.broadcast_to(lrow, (d, wctx)) - shifted)
+        edge = jax.lax.slice(ad, (0, edge_lane), (d, edge_lane + 1))
+        ad = jnp.where(lane > edge_lane, jnp.broadcast_to(edge, ad.shape), ad)
+        ad_rows.append(ad)
+
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, (d, wp), 1)
+    sub_o = jax.lax.broadcasted_iota(jnp.int32, (d, wp), 0)
+    invalid = (b_ref[0] + lane_o) < sub_o
+
+    v = ad_rows[0]
+    for r_off in range(1, wy):
+        v = v + ad_rows[r_off]
+    rows_out = []
+    for r in range(bh):
+        if r > 0:
+            v = v + ad_rows[r + wy - 1] - ad_rows[r - 1]
+        hsum = jax.lax.slice(v, (0, cpad - rx), (d, cpad - rx + wp))
+        for o in range(1, wx):
+            hsum = hsum + jax.lax.slice(
+                v, (0, cpad - rx + o), (d, cpad - rx + o + wp)
+            )
+        cost = _floor_div_const(hsum, area)
+        cost = jnp.where(invalid, maxc, cost).astype(out_ref.dtype)
+        # Transpose [D, WP] -> [WP, D] in 128-lane chunks (the proven
+        # census-kernel shape; one big transpose trips Mosaic on wide WP).
+        step = 128 if wp % 128 == 0 else wp
+        chunks = [
+            jax.lax.slice(cost, (0, c0), (d, c0 + step)).T
+            for c0 in range(0, wp, step)
+        ]
+        col = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+        rows_out.append(col[None])                          # [1, WP, D]
+    out_ref[:] = jnp.concatenate(rows_out, axis=0)
+
+
+def sad_cost_volume_pallas(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoConfig,
+    interpret: bool = False,
+    out_dtype=jnp.int16,
+    x_offset=0,
+):
+    """SAD block-matching cost volume on TPU, box filter fused.
+
+    Bit-exact vs the golden sad_cost_volume (same local edge-replication
+    and x-d clamp semantics); ``x_offset`` may be a traced tile origin.
+
+    Returns (cost PADDED [hp, wp, D] int16, None) — plan_dims padding, the
+    shape sgm_wta_fused_pallas consumes with true_shape=(h, w).
+    """
+    if cfg.cost_fn != "sad":
+        raise NotImplementedError("sad cost kernel: cfg.cost_fn != sad")
+    h, w = left.shape
+    if not sad_kernel_supported(cfg, h, w):
+        raise NotImplementedError("sad kernel unsupported for this config")
+    d = cfg.num_disparities
+    wy, wx = cfg.sad_window
+    ry, rx = wy // 2, wx // 2
+    area = wy * wx
+    bh = 8
+    _, hp, _, wp = plan_dims(h, w, d)
+    cpad = -(-(d + rx) // 128) * 128
+
+    # Lane count must be 128-aligned for the strided roll; the extra
+    # right columns are edge replicas past the AD window and the frame-
+    # edge patch overrides everything right of w-1 anyway.
+    wctx = cpad + wp + rx
+    wctx += -wctx % 128
+    pads = ((bh, hp - h + bh), (cpad, wctx - cpad - w))
+    pl_img = jnp.pad(left.astype(jnp.int32), pads, mode="edge")
+    pr_img = jnp.pad(right.astype(jnp.int32), pads, mode="edge")
+
+    grid = (hp // bh,)
+    row = lambda k: (lambda i: (i + k, 0))
+    img_spec = lambda k: pl.BlockSpec((bh, wctx), row(k),
+                                      memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _sad_kernel, d=d, wy=wy, wx=wx, wp=wp, cpad=cpad,
+        maxc=cfg.max_unary_cost, area=area, w_true=w, interpret=interpret,
+    )
+    bounds = jnp.asarray(x_offset, jnp.int32)[None]
+    cost = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [img_spec(k) for k in range(3)] * 2,
+        out_specs=pl.BlockSpec((bh, wp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp, d), out_dtype),
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(bounds, pl_img, pl_img, pl_img, pr_img, pr_img, pr_img)
+    return cost, None  # PADDED [hp, wp, D] (plan_dims)

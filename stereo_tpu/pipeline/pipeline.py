@@ -79,11 +79,61 @@ def _pallas_mode(cfg: StereoConfig, valid, constrain, rect: bool = False):
     return False if jax.default_backend() == "tpu" else None
 
 
+def _cost_kernel_for(cfg: StereoConfig, h: int, w: int):
+    """The Pallas cost-volume builder for this config, or None.
+
+    All three matching costs (SURVEY.md C2-C5) have TPU kernels; SAD falls
+    back to the golden XLA path when its fused box filter would overflow
+    VMEM (sad_kernel_supported).
+    """
+    from ..ops.pallas import cost_kernel as ck
+
+    if cfg.cost_fn == "census":
+        return ck.census_cost_volume_pallas
+    if cfg.cost_fn == "rank":
+        return ck.rank_cost_volume_pallas
+    if cfg.cost_fn == "sad" and ck.sad_kernel_supported(cfg, h, w):
+        return ck.sad_cost_volume_pallas
+    return None
+
+
+def _build_cost(left, right, cfg: StereoConfig, valid, constrain, x_offset):
+    """[H, W, D] cost volume; Pallas kernels where they apply.
+
+    Unconstrained, unmasked, static-origin calls (whole frames and
+    parallel/bands.py patches — including WTA-only configs like the
+    tsukuba_sad16 preset, whose num_paths=0 skips the fused SGM path) get
+    the Pallas cost kernels; everything else the golden XLA construction.
+    Bit-exact either way (tests/ops/test_pallas_cost.py).
+    """
+    usable = (
+        cfg.backend != "jnp"
+        and constrain is None
+        and valid is None
+        and isinstance(x_offset, int)
+    )
+    interp = False
+    if usable:
+        if cfg.backend in ("pallas", "pallas_interpret"):
+            interp = cfg.backend == "pallas_interpret"
+        else:
+            usable = jax.default_backend() == "tpu"
+    if usable:
+        kern = _cost_kernel_for(cfg, *left.shape)
+        if kern is not None:
+            h, w = left.shape
+            volp, _ = kern(
+                left, right, cfg, x_offset=x_offset, interpret=interp
+            )
+            return volp[:h, :w].astype(jnp.int32)
+    return cost_volume(left, right, cfg, x_offset=x_offset)
+
+
 def _aggregate(
     left, right, cfg: StereoConfig, valid=None, constrain=None, x_offset=0
 ):
     """Cost volume + SGM for one reference view. Returns [H, W, D] int."""
-    vol = cost_volume(left, right, cfg, x_offset=x_offset)
+    vol = _build_cost(left, right, cfg, valid, constrain, x_offset)
     if constrain is not None and len(constrain) > 2 and constrain[2] is not None:
         # Cost-volume placement hook: P3 disparity-plane sharding
         # (parallel/exact.py dplane_cost) annotates the freshly built
@@ -167,14 +217,14 @@ def compute_disparity(
         else:
             iw = image_width
             bounds = None
-        if cfg.cost_fn == "census" and (static_off or rect):
-            # Pallas cost kernel emits both volume layouts (the transposed
-            # copy feeds the horizontal SGM passes directly). Static patch
-            # origins (parallel/bands.py) and traced tile origins
-            # (parallel/tiling.py) thread straight into the kernels.
-            from ..ops.pallas.cost_kernel import census_cost_volume_pallas
-
-            vol, vol_whd = census_cost_volume_pallas(
+        cost_kernel = _cost_kernel_for(cfg, th, tw) if (static_off or rect) else None
+        if cost_kernel is not None:
+            # Pallas cost kernels emit the padded volume (census/rank also
+            # the transposed layout feeding the horizontal SGM passes
+            # directly). Static patch origins (parallel/bands.py) and
+            # traced tile origins (parallel/tiling.py) thread straight
+            # into the kernels.
+            vol, vol_whd = cost_kernel(
                 left, right, cfg, x_offset=x_offset, interpret=interpret,
             )
             disp, ok = sgm_wta_fused_pallas(

@@ -113,3 +113,28 @@ def test_pipeline_is_jittable_and_cached():
     r1 = fn(pair.left, pair.right)
     r2 = fn(pair.left, pair.right)
     np.testing.assert_array_equal(np.array(r1.disp), np.array(r2.disp))
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        # config-1 shape: SAD + WTA-only rides the Pallas cost kernel
+        StereoConfig(cost_fn="sad", sad_window=(9, 9), num_disparities=16,
+                     num_paths=0, subpixel=False),
+        # SAD and rank through the fused Pallas SGM fast path
+        StereoConfig(cost_fn="sad", sad_window=(5, 5), num_disparities=16,
+                     num_paths=8),
+        StereoConfig(cost_fn="rank", census_window=(5, 5),
+                     num_disparities=16, num_paths=4),
+    ],
+    ids=["sad-wta", "sad-sgm8", "rank-sgm4"],
+)
+def test_sad_rank_pallas_paths_bit_identical(cfg):
+    """Every cost_fn's Pallas path matches the golden pipeline bit-exactly."""
+    pair = make_pair((32, 64), max_disp=8, kind="shapes", seed=11)
+    g = build_pipeline(cfg.replace(backend="jnp"))(pair.left, pair.right)
+    p = build_pipeline(cfg.replace(backend="pallas_interpret"))(
+        pair.left, pair.right
+    )
+    np.testing.assert_array_equal(np.array(g.disp), np.array(p.disp))
+    np.testing.assert_array_equal(np.array(g.valid), np.array(p.valid))
