@@ -137,7 +137,20 @@ class PyramidSGM(StereoModel):
         res_cfg = cfg.replace(
             num_disparities=r, min_disparity=-half, lr_check=False
         )
-        s = sgm_aggregate(vol, res_cfg, image=left)
+        # Residual aggregation is plain SGM over an [H, W, R] volume — the
+        # Pallas blocked-pass kernel applies directly (bit-exact vs the
+        # golden scan; no disparity framing is involved at this stage).
+        from ..pipeline.pipeline import _pallas_mode
+
+        mode = _pallas_mode(res_cfg, None, None)
+        if mode is not None:
+            from ..ops.pallas.sgm_kernel import sgm_aggregate_pallas
+
+            s = sgm_aggregate_pallas(
+                vol.astype(jnp.int16), res_cfg, interpret=mode
+            ).astype(jnp.float32)
+        else:
+            s = sgm_aggregate(vol, res_cfg, image=left)
         disp_r, ok, _ = wta_with_aux(s, res_cfg)
         disp = base + disp_r
         ok = ok & (disp >= 0) & (disp <= cfg.num_disparities - 1)
