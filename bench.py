@@ -95,12 +95,16 @@ def main() -> int:
         np.asarray(res.valid),
     )
 
-    # Roofline estimate: the SGM hot path streams the int16 volume
-    # (2 cost-kernel writes + 4 cost reads + 1 S write + 2 S RMW + 1 read,
-    # ~= 10 volume sweeps); memory-bound speed-of-light derives from HBM
-    # bandwidth (SURVEY.md §5 tracing note). v5e peak ~= 819 GB/s.
-    vol_bytes = shape[0] * shape[1] * cfg.num_disparities * 2
-    est_bytes = 10 * vol_bytes
+    # Roofline estimate: the SGM hot path streams the cost volume (int8 for
+    # census/rank, cfg.cost_volume_dtype) and the int16 S accumulator:
+    # 2 cost-kernel writes + 4 cost reads (6 sweeps at cost width) and
+    # 1 S write + 2 RMW + 1 read (6 sweeps at 2 B). Memory-bound speed-of-
+    # light derives from HBM bandwidth (SURVEY.md §5). v5e peak ~= 819 GB/s.
+    import jax.numpy as jnp
+
+    nvox = shape[0] * shape[1] * cfg.num_disparities
+    est_bytes = 6 * nvox * jnp.dtype(cfg.cost_volume_dtype).itemsize \
+        + 6 * nvox * 2
     achieved_gbps = est_bytes / sec / 1e9
     device = str(jax.devices()[0])
     record = {

@@ -94,6 +94,19 @@ class StereoConfig:
         # SAD of uint8 over the window, normalized by window size in ops.cost
         return 255
 
+    @property
+    def cost_volume_dtype(self):
+        """Narrowest exact dtype for the materialized cost volume.
+
+        Census/rank costs are bounded by the window bit count (<= 63), so
+        int8 is exact and halves the volume's HBM traffic through the four
+        SGM passes; SAD costs reach 255 and stay int16. The SGM accumulator
+        stays int16 regardless (8 paths * (max_unary_cost + P2) < 2^15).
+        """
+        import jax.numpy as jnp
+
+        return jnp.int8 if self.max_unary_cost <= 127 else jnp.int16
+
     def replace(self, **kw) -> "StereoConfig":
         return dataclasses.replace(self, **kw)
 

@@ -74,6 +74,83 @@ def _local_minmax_center(base: jnp.ndarray, k: int = 5) -> jnp.ndarray:
     return jnp.round((mn + mx) * 0.5)
 
 
+def _residual_cost_volume(
+    cl: jnp.ndarray,
+    cr: jnp.ndarray,
+    base_i: jnp.ndarray,
+    half: int,
+    r: int,
+    use_mxu: bool,
+) -> jnp.ndarray:
+    """vol[y, x, o] = hamming(cl[y, x], cr[y, clip(x - base - (o - half))]).
+
+    Two equivalent constructions (bit-exact, tests/models):
+
+    * gather: r take_along_axis gathers — fine on CPU, catastrophic on TPU
+      (per-pixel dynamic indices serialize onto the scalar core; measured
+      ~100 ms of the pyramid model's 120 ms frame at KITTI scale).
+    * mxu: express the gather as a one-hot bf16 matmul per row. The right
+      descriptors are split into 8-bit chunks (exact in bf16; a one-hot
+      operand means each output is a single product, never a sum) and all
+      r offsets share one index array: M[y, j, (o, chunk)] holds STATIC
+      shifts of the chunked descriptors, so one batched
+      [W, Wp] @ [Wp, r*chunks] matmul per row gathers every offset — the
+      MXU does in ~2 ms what the scalar core did in ~100 ms.
+
+    Clip semantics match the gather formulation everywhere the entry is
+    not masked afterwards: indices that clip at either frame edge imply a
+    total disparity outside [0, D) or x - d < 0, which the caller
+    overwrites with max_unary_cost (see PyramidSGM._forward).
+
+    Requires base_i >= 0 (guaranteed by the caller's clamp): the one-hot
+    index pad covers x - base + half only up to w - 1 + half.
+    """
+    h, w = base_i.shape
+    words = cl.shape[2]
+    xs = jnp.arange(w)[None, :]
+
+    if not use_mxu:
+        def plane(o):
+            src = jnp.clip(xs - base_i - (o - half), 0, w - 1)
+            cr_s = jnp.take_along_axis(cr, src[:, :, None], axis=1)
+            return hamming_distance(cl, cr_s)
+
+        return jax.vmap(plane, out_axes=2)(jnp.arange(r))      # [H, W, R]
+
+    nch = 4 * words                                   # 8-bit chunks
+    wp = w + half                                     # j = x - base + half
+    wpp = -(-wp // 128) * 128                         # MXU lane padding
+    # M[y, j, o, word, chunk] = chunk(cr[y, clip(j - o, 0, w - 1)]) via
+    # static shifts of an edge-padded copy (left pad r-1 covers j - o < 0).
+    cr_pad = jnp.pad(cr, ((0, 0), (r - 1, half), (0, 0)), mode="edge")
+    m = jnp.stack(
+        [cr_pad[:, r - 1 - o : r - 1 - o + wp] for o in range(r)], axis=2
+    )                                                 # [H, Wp, R, words]
+    shifts = (8 * jnp.arange(4, dtype=jnp.uint32))[None, None, None, None]
+    m_c = (m[..., None] >> shifts) & jnp.uint32(0xFF)
+    m_f = (
+        m_c.astype(jnp.bfloat16)
+        .reshape(h, wp, r * nch)
+    )
+    m_f = jnp.pad(m_f, ((0, 0), (0, wpp - wp), (0, 0)))
+    j = jnp.clip(xs - base_i + half, 0, wp - 1)       # [H, W]
+    onehot = (
+        j[:, :, None] == jnp.arange(wpp)[None, None, :]
+    ).astype(jnp.bfloat16)
+    g = jnp.einsum(
+        "hxj,hjc->hxc", onehot, m_f,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)                               # exact: one-hot select
+    g = g.reshape(h, w, r, words, 4)
+    cl_c = (
+        cl[:, :, None, :, None] >> (8 * jnp.arange(4, dtype=jnp.uint32))
+    ) & jnp.uint32(0xFF)                              # [H, W, 1, words, 4]
+    ham = jax.lax.population_count(
+        jnp.bitwise_xor(g.astype(jnp.uint32), cl_c)
+    ).astype(jnp.int32)
+    return ham.sum(axis=(3, 4))                       # [H, W, R]
+
+
 class PyramidSGM(StereoModel):
     name = "pyramid"
 
@@ -108,18 +185,13 @@ class PyramidSGM(StereoModel):
         cr = census_transform(right, cfg.census_window)
 
         half = r // 2
+        # Coarse disparities are >= 0 by construction; the clamp also pins
+        # any future negative-min_disparity coarse config to the precondition
+        # of _residual_cost_volume.
+        base = jnp.clip(base, 0, cfg.num_disparities - 1)
         base_i = jnp.round(base).astype(jnp.int32)
-        xs2 = jnp.arange(w)[None, :]
-
-        def plane(o):
-            # sample right-frame descriptors at x - base - (o - half)
-            src = jnp.clip(xs2 - base_i - (o - half), 0, w - 1)
-            cr_s = jnp.take_along_axis(
-                cr, src[:, :, None], axis=1
-            )
-            return hamming_distance(cl, cr_s)
-
-        vol = jax.vmap(plane, out_axes=2)(jnp.arange(r))       # [H, W, R]
+        use_mxu = cfg.backend != "jnp" and jax.default_backend() == "tpu"
+        vol = _residual_cost_volume(cl, cr, base_i, half, r, use_mxu)
         # invalid where the total disparity leaves the image or the search
         # range of the classic model
         total = base[:, :, None] + (

@@ -157,6 +157,16 @@ def _roll_cost_volume(
 
     bh = 8
     _, hp, _, wp = plan_dims(h, w, d)
+    if jnp.dtype(out_dtype).itemsize == 1:
+        # int8 volumes (census/rank costs <= window bits, exact in 8 bits —
+        # see cost_volume_dtype) halve the volume's HBM traffic, but the
+        # (32, 128) int8 tiling needs 32-row blocks for the transposed
+        # [XC, BH, D] emit; fall back to int16 when the padded height or
+        # the lane extent can't align.
+        if hp % 32 == 0 and d % 128 == 0:
+            bh = 32
+        else:
+            out_dtype = jnp.int16
     xc = wp if wp < max(d, 128) else max(d, 128)
     cl = jnp.pad(cl, ((0, 0), (0, hp - h), (0, wp - w)))
     cr = jnp.pad(cr, ((0, 0), (0, hp - h), (0, wp - w)))

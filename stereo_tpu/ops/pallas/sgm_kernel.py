@@ -265,19 +265,23 @@ def sgm_aggregate_pallas(
     compute_dtype=jnp.float32,
     use_roll: bool = False,
     bounds: jnp.ndarray = None,
+    acc_dtype=None,
 ) -> jnp.ndarray:
     """S(p, d) = sum of 4/8 SGM path costs over four blocked HBM passes.
 
     Args:
-      cost: [H, W, D] integer cost volume (int16 recommended).
+      cost: [H, W, D] integer cost volume (int8 where the unary bound
+        allows — census/rank — else int16).
       cfg: static config; num_paths in {4, 8}; adaptive_p2 unsupported
         here (the golden path covers it).
       bounds: optional int32[N_BOUNDS] in-frame rectangle (frame_bounds());
         carries fresh-start at its edges instead of the block edges —
         bit-exact inside the rectangle vs the golden sgm_aggregate with
         the matching rectangular valid mask. None = whole block valid.
+      acc_dtype: dtype of the path accumulator S (default: cost.dtype).
+        Must hold num_paths * (max_unary_cost + P2); int16 for 8 paths.
 
-    Returns: [H, W, D] summed volume, same dtype, bit-exact vs the golden
+    Returns: [H, W, D] summed volume in acc_dtype, bit-exact vs the golden
     sgm_aggregate for full-frame (all-valid) inputs.
     """
     if cfg.num_paths == 0:
@@ -293,7 +297,7 @@ def sgm_aggregate_pallas(
     else:
         p1, p2 = int(cfg.p1), int(cfg.p2)
     diag = cfg.num_paths == 8
-    dt = cost.dtype
+    dt = jnp.dtype(acc_dtype) if acc_dtype is not None else cost.dtype
 
     # Pad H to the horizontal row-block multiple and W to the x-chunk
     # multiple. Horizontal scans never cross rows, and the vertical/
@@ -586,6 +590,7 @@ def sgm_wta_fused_pallas(
     x_offset: int = 0,
     bounds: jnp.ndarray = None,
     image_width: int = None,
+    acc_dtype=None,
 ):
     """SGM + WTA + subpixel + uniqueness + LR-check, S never materialized
     in its final form.
@@ -623,7 +628,10 @@ def sgm_wta_fused_pallas(
     else:
         p1, p2 = int(cfg.p1), int(cfg.p2)
     diag = cfg.num_paths == 8
-    dt = cost.dtype
+    # Accumulator dtype (default: the cost's own). The cost volume itself
+    # may be narrower (int8 census/rank) — the kernels read it through
+    # .astype(ct), so only S traffic pays the accumulator width.
+    dt = jnp.dtype(acc_dtype) if acc_dtype is not None else cost.dtype
 
     br, hp, xc, wp = plan_dims(h, w, d)
     if cost.shape[:2] == (h, w) and (hp, wp) != (h, w):

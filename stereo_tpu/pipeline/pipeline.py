@@ -97,6 +97,28 @@ def _cost_kernel_for(cfg: StereoConfig, h: int, w: int):
     return None
 
 
+def _vol_dtype(cfg: StereoConfig, h: int, w: int):
+    """Narrowest cost-volume dtype the Pallas SGM passes can tile here.
+
+    int8 (exact for census/rank, cfg.cost_volume_dtype) halves the volume's
+    HBM traffic through the four SGM passes, but int8 arrays tile as
+    (32, 128): every block's trailing two dims must align, else int16.
+    """
+    from ..ops.pallas.sgm_kernel import plan_dims
+
+    if jnp.dtype(cfg.cost_volume_dtype).itemsize != 1:
+        return jnp.int16
+    br, hp, _, wp = plan_dims(h, w, cfg.num_disparities)
+    if (
+        cfg.num_disparities % 128 == 0
+        and hp % 32 == 0
+        and br % 32 == 0
+        and wp % 128 == 0
+    ):
+        return jnp.int8
+    return jnp.int16
+
+
 def _build_cost(left, right, cfg: StereoConfig, valid, constrain, x_offset):
     """[H, W, D] cost volume; Pallas kernels where they apply.
 
@@ -145,12 +167,16 @@ def _aggregate(
     if mode is not None:
         from ..ops.pallas.sgm_kernel import sgm_aggregate_pallas
 
-        # int16 halves SGM's HBM traffic; bounds hold for census and the
-        # 0..255-normalized SAD (L <= max_unary_cost + P2, 8*L < 2^15).
-        # Downstream reductions consume S as f32 (integer VPU ops are ~3x
-        # slower on v5e; the cast fuses into the WTA/LR sweeps and values
-        # stay exact below 2^24).
-        s16 = sgm_aggregate_pallas(vol.astype(jnp.int16), cfg, interpret=mode)
+        # Narrow volume dtypes halve SGM's HBM traffic (int8 for census/
+        # rank, int16 for SAD; L <= max_unary_cost + P2, 8*L < 2^15 keeps
+        # the int16 accumulator exact). Downstream reductions consume S as
+        # f32 (integer VPU ops are ~3x slower on v5e; the cast fuses into
+        # the WTA/LR sweeps and values stay exact below 2^24).
+        h, w = left.shape
+        s16 = sgm_aggregate_pallas(
+            vol.astype(_vol_dtype(cfg, h, w)), cfg, interpret=mode,
+            acc_dtype=jnp.int16,
+        )
         return s16.astype(jnp.float32)
     if jax.default_backend() == "tpu":
         # Same f32 speedup for the golden path (tiled/constrained/adaptive
@@ -224,20 +250,28 @@ def compute_disparity(
             # directly). Static patch origins (parallel/bands.py) and
             # traced tile origins (parallel/tiling.py) thread straight
             # into the kernels.
+            kw = (
+                {"out_dtype": _vol_dtype(cfg, th, tw)}
+                if cfg.cost_fn in ("census", "rank")
+                else {}
+            )
             vol, vol_whd = cost_kernel(
                 left, right, cfg, x_offset=x_offset, interpret=interpret,
+                **kw,
             )
             disp, ok = sgm_wta_fused_pallas(
                 vol, cfg, cost_whd=vol_whd, true_shape=left.shape,
                 x_offset=x_offset if static_off else 0,
                 bounds=bounds, image_width=iw, interpret=interpret,
+                acc_dtype=jnp.int16,
             )
         elif static_off or rect:
             vol = cost_volume(left, right, cfg, x_offset=x_offset)
             disp, ok = sgm_wta_fused_pallas(
-                vol.astype(jnp.int16), cfg,
+                vol.astype(_vol_dtype(cfg, th, tw)), cfg,
                 x_offset=x_offset if static_off else 0,
                 bounds=bounds, image_width=iw, interpret=interpret,
+                acc_dtype=jnp.int16,
             )
         else:
             vol = cost_volume(left, right, cfg, x_offset=x_offset)

@@ -114,3 +114,50 @@ def test_fused_rect_tile_matches_masked_golden(paths, lr):
                                   np.array(want.valid)[rect])
     np.testing.assert_allclose(np.array(got.disp)[rect],
                                np.array(want.disp)[rect], atol=1e-5)
+
+
+def test_fused_int8_cost_int16_acc_matches_golden():
+    """int8 cost volumes (census/rank bound <= 127) with the int16 path
+    accumulator: 8-path sums reach ~360 here, so any accidental int8
+    accumulation overflows and fails loudly."""
+    rng = np.random.default_rng(7)
+    h, w, d = 24, 40, 16
+    cost = rng.integers(0, 25, size=(h, w, d)).astype(np.int8)
+    cfg = StereoConfig(
+        num_paths=8, p1=3, p2=20, subpixel=True, lr_check=True,
+        median_filter=False,
+    )
+    disp, valid = sgm_wta_fused_pallas(
+        cost, cfg, interpret=True, acc_dtype=np.int16
+    )
+    g_disp, g_valid = golden(cost, cfg)
+    np.testing.assert_array_equal(np.array(valid), g_valid)
+    np.testing.assert_allclose(np.array(disp), g_disp, atol=1e-5)
+
+
+def test_pipeline_int8_volume_dispatch_matches_golden():
+    """End-to-end: a frame whose padded dims align for the int8 volume
+    (_vol_dtype -> int8, cost kernel bh=32 blocking) must match the golden
+    jnp pipeline bit-exactly through the pallas_interpret backend."""
+    import jax.numpy as jnp
+
+    from stereo_tpu.pipeline.pipeline import _vol_dtype, compute_disparity
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 128
+    left = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    right = np.roll(left, 2, axis=1)
+    cfg = StereoConfig(
+        cost_fn="census", census_window=(5, 5), num_disparities=128,
+        num_paths=8, p1=10, p2=120, subpixel=True, lr_check=True,
+        median_filter=True,
+    )
+    assert _vol_dtype(cfg, h, w) == jnp.int8
+    fast = compute_disparity(
+        left, right, cfg.replace(backend="pallas_interpret")
+    )
+    gold = compute_disparity(left, right, cfg.replace(backend="jnp"))
+    np.testing.assert_array_equal(np.array(fast.valid), np.array(gold.valid))
+    np.testing.assert_allclose(
+        np.array(fast.disp), np.array(gold.disp), atol=1e-5
+    )

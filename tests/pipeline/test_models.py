@@ -65,3 +65,26 @@ def test_pyramid_tracks_classic():
 def test_model_describe():
     d = get_model("pyramid", cfg=CFG).describe()
     assert d["model"] == "pyramid" and d["D"] == 32
+
+
+def test_pyramid_mxu_gather_matches_take_along_axis():
+    """The one-hot-matmul residual volume (TPU path) must be bit-identical
+    to the take_along_axis construction, including frame-edge clipping and
+    bases larger than x (index underflow) or near the right edge
+    (index overflow into the edge-padded strip)."""
+    import jax.numpy as jnp
+
+    from stereo_tpu.models.pyramid import _residual_cost_volume
+    from stereo_tpu.ops import census_transform
+
+    rng = np.random.default_rng(11)
+    h, w, r = 16, 64, 8
+    left = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    right = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    cl = census_transform(jnp.asarray(left), (7, 9))   # 62 bits -> 2 words
+    cr = census_transform(jnp.asarray(right), (7, 9))
+    # base >= 0 (the documented precondition; the model clamps)
+    base = rng.integers(0, 70, size=(h, w)).astype(np.int32)
+    gather = _residual_cost_volume(cl, cr, jnp.asarray(base), r // 2, r, False)
+    mxu = _residual_cost_volume(cl, cr, jnp.asarray(base), r // 2, r, True)
+    np.testing.assert_array_equal(np.array(gather), np.array(mxu))
