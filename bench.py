@@ -25,13 +25,27 @@ TARGET_FPS = 60.0
 
 
 def _git_sha() -> str:
+    """Short HEAD sha, with a '-dirty' marker when CODE differs from HEAD.
+
+    Driver-owned logs (PROGRESS.jsonl, bench_results/) churn on every run
+    and are excluded — the marker records whether the benchmarked code is
+    the committed code (ADVICE r1: round-1 TPU rows were stamped with a
+    stale sha from a dirty tree).
+    """
+    cwd = os.path.dirname(__file__) or "."
     try:
-        return (
-            subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".",
-            ).stdout.strip()
-        )
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=cwd,
+        ).stdout.strip()
+        if not sha:
+            return "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             ":(exclude)PROGRESS.jsonl", ":(exclude)bench_results"],
+            capture_output=True, text=True, cwd=cwd,
+        ).stdout.strip()
+        return sha + ("-dirty" if dirty else "")
     except Exception:
         return "unknown"
 
@@ -96,14 +110,17 @@ def main() -> int:
     )
 
     # Roofline estimate: the SGM hot path streams the cost volume (int8 for
-    # census/rank, cfg.cost_volume_dtype) and the int16 S accumulator:
+    # census/rank where the padded dims align — _vol_dtype, the pipeline's
+    # actual choice per shape — else int16) and the int16 S accumulator:
     # 2 cost-kernel writes + 4 cost reads (6 sweeps at cost width) and
     # 1 S write + 2 RMW + 1 read (6 sweeps at 2 B). Memory-bound speed-of-
     # light derives from HBM bandwidth (SURVEY.md §5). v5e peak ~= 819 GB/s.
     import jax.numpy as jnp
 
+    from stereo_tpu.pipeline.pipeline import _vol_dtype
+
     nvox = shape[0] * shape[1] * cfg.num_disparities
-    est_bytes = 6 * nvox * jnp.dtype(cfg.cost_volume_dtype).itemsize \
+    est_bytes = 6 * nvox * jnp.dtype(_vol_dtype(cfg, *shape)).itemsize \
         + 6 * nvox * 2
     achieved_gbps = est_bytes / sec / 1e9
     device = str(jax.devices()[0])

@@ -74,6 +74,12 @@ def _local_minmax_center(base: jnp.ndarray, k: int = 5) -> jnp.ndarray:
     return jnp.round((mn + mx) * 0.5)
 
 
+#: Cap on the materialized one-hot select operand of the MXU residual
+#: gather (per lax.map band). 512 MB keeps KITTI-width frames in ~3 bands
+#: and Middlebury full-res bounded (vs ~23 GB unbanded — ADVICE r1).
+_ONEHOT_BUDGET_BYTES = 512 * (1 << 20)
+
+
 def _residual_cost_volume(
     cl: jnp.ndarray,
     cr: jnp.ndarray,
@@ -134,13 +140,31 @@ def _residual_cost_volume(
     )
     m_f = jnp.pad(m_f, ((0, 0), (0, wpp - wp), (0, 0)))
     j = jnp.clip(xs - base_i + half, 0, wp - 1)       # [H, W]
-    onehot = (
-        j[:, :, None] == jnp.arange(wpp)[None, None, :]
-    ).astype(jnp.bfloat16)
-    g = jnp.einsum(
-        "hxj,hjc->hxc", onehot, m_f,
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)                               # exact: one-hot select
+
+    # The one-hot operand is [bh, W, Wpp] bf16 — ~2*W^2 bytes per row, so a
+    # whole-frame build is ~1.2 GB at KITTI width but ~23 GB at Middlebury
+    # full-res (ADVICE r1). Band the rows with lax.map so the operand stays
+    # under a fixed budget; MXU work is identical, only the fan-out of the
+    # materialized select matrix is bounded.
+    bh = max(1, min(h, _ONEHOT_BUDGET_BYTES // (w * wpp * 2)))
+    nb = -(-h // bh)
+    hb = nb * bh
+    j_b = jnp.pad(j, ((0, hb - h), (0, 0))).reshape(nb, bh, w)
+    m_b = jnp.pad(m_f, ((0, hb - h), (0, 0), (0, 0))).reshape(
+        nb, bh, wpp, r * nch
+    )
+
+    def _band(args):
+        j_i, m_i = args
+        onehot = (
+            j_i[:, :, None] == jnp.arange(wpp)[None, None, :]
+        ).astype(jnp.bfloat16)
+        return jnp.einsum(
+            "hxj,hjc->hxc", onehot, m_i,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)                           # exact: one-hot select
+
+    g = jax.lax.map(_band, (j_b, m_b)).reshape(hb, w, r * nch)[:h]
     g = g.reshape(h, w, r, words, 4)
     cl_c = (
         cl[:, :, None, :, None] >> (8 * jnp.arange(4, dtype=jnp.uint32))

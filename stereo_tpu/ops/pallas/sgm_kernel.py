@@ -298,6 +298,10 @@ def sgm_aggregate_pallas(
         p1, p2 = int(cfg.p1), int(cfg.p2)
     diag = cfg.num_paths == 8
     dt = jnp.dtype(acc_dtype) if acc_dtype is not None else cost.dtype
+    if acc_dtype is None and dt.itemsize == 1:
+        # An int8 path accumulator silently wraps (8-path census sums reach
+        # ~1464); widen the default so narrow cost volumes stay exact.
+        dt = jnp.dtype(jnp.int16)
 
     # Pad H to the horizontal row-block multiple and W to the x-chunk
     # multiple. Horizontal scans never cross rows, and the vertical/
@@ -628,10 +632,13 @@ def sgm_wta_fused_pallas(
     else:
         p1, p2 = int(cfg.p1), int(cfg.p2)
     diag = cfg.num_paths == 8
-    # Accumulator dtype (default: the cost's own). The cost volume itself
+    # Accumulator dtype (default: the cost's own, widened to int16 for
+    # byte-wide volumes — path sums overflow int8). The cost volume itself
     # may be narrower (int8 census/rank) — the kernels read it through
     # .astype(ct), so only S traffic pays the accumulator width.
     dt = jnp.dtype(acc_dtype) if acc_dtype is not None else cost.dtype
+    if acc_dtype is None and dt.itemsize == 1:
+        dt = jnp.dtype(jnp.int16)
 
     br, hp, xc, wp = plan_dims(h, w, d)
     if cost.shape[:2] == (h, w) and (hp, wp) != (h, w):

@@ -88,3 +88,27 @@ def test_pyramid_mxu_gather_matches_take_along_axis():
     gather = _residual_cost_volume(cl, cr, jnp.asarray(base), r // 2, r, False)
     mxu = _residual_cost_volume(cl, cr, jnp.asarray(base), r // 2, r, True)
     np.testing.assert_array_equal(np.array(gather), np.array(mxu))
+
+
+def test_pyramid_mxu_row_banding_bit_exact(monkeypatch):
+    """The banded one-hot einsum (ADVICE r1: bound the select operand) must
+    stay bit-identical when the budget forces multiple bands, including a
+    ragged final band (h not a band multiple)."""
+    import jax.numpy as jnp
+
+    from stereo_tpu.models import pyramid
+    from stereo_tpu.ops import census_transform
+
+    rng = np.random.default_rng(12)
+    h, w, r = 13, 48, 8
+    left = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    right = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    cl = census_transform(jnp.asarray(left), (5, 5))
+    cr = census_transform(jnp.asarray(right), (5, 5))
+    base = jnp.asarray(rng.integers(0, 50, size=(h, w)).astype(np.int32))
+    gather = pyramid._residual_cost_volume(cl, cr, base, r // 2, r, False)
+    # w=48 pads to wpp=128: 48*128*2 B/row; 4 rows/band -> 4 bands, last
+    # band ragged (13 = 3*4 + 1).
+    monkeypatch.setattr(pyramid, "_ONEHOT_BUDGET_BYTES", 4 * 48 * 128 * 2)
+    mxu = pyramid._residual_cost_volume(cl, cr, base, r // 2, r, True)
+    np.testing.assert_array_equal(np.array(gather), np.array(mxu))
