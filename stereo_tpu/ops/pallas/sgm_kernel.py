@@ -78,20 +78,42 @@ def frame_bounds(h, w, x_offset=0, y_offset=0, image_width=None,
 _SMEM_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
+#: Blocking knobs, swept on hardware (docs/kernels.md). _BR_CAP bounds the
+#: horizontal-pass row-block height (taller slabs amortize the per-step
+#: D-wide min reduction better; the whole-frame carry still fits VMEM).
+#: _XC is the horizontal x-chunk; _V_BLOCK_BYTES / _V_BH_CAP bound the
+#: vertical-pass row block.
+_BR_CAP = 128
+_XC = 64
+_V_BLOCK_BYTES = 2 << 20
+_V_BH_CAP = 8
+
+
+def _v_block_rows(hp, wp, d, itemsize):
+    """Rows per vertical-pass grid step (divides hp, bounded by budget)."""
+    bh = max(1, min(_V_BH_CAP, _V_BLOCK_BYTES // (wp * d * itemsize)))
+    while hp % bh:
+        bh -= 1
+    return bh
+
+
 def plan_dims(h, w, d):
     """Shared padding plan for the cost + SGM kernels.
 
     (br, hp, xc, wp): horizontal-pass row block and padded H; horizontal
     x-chunk and padded W. W pads to the cost kernel's chunk (max(D, 128))
     so the cost kernel's transposed output feeds the horizontal passes
-    directly; both are multiples of the SGM x-chunk.
+    directly; both are multiples of the SGM x-chunk. br rounds up to 32
+    when the cap allows so int8 volumes keep their (32, 128) tiling.
     """
-    br = 128 if h >= 128 else -(-h // 8) * 8
+    br = min(_BR_CAP, -(-h // 8) * 8)
+    if br % 32 and -(-br // 32) * 32 <= _BR_CAP:
+        br = -(-br // 32) * 32
     hp = -(-h // br) * br
     xcc = max(d, 128)
     if w >= xcc:
         wp = -(-w // xcc) * xcc
-        xc = 64
+        xc = _XC
     else:
         wp = max(-(-w // 8) * 8, d)
         xc = wp
@@ -370,9 +392,7 @@ def sgm_aggregate_pallas(
         )(*args)
 
     def v_call(up, acc):
-        bh = max(1, min(8, (2 << 20) // (wp * d * dt.itemsize)))
-        while hp % bh:
-            bh -= 1
+        bh = _v_block_rows(hp, wp, d, dt.itemsize)
         nb = hp // bh
         im = (lambda i: (nb - 1 - i, 0, 0)) if up else (lambda i: (i, 0, 0))
         carry = lambda: pltpu.VMEM((wp, d), ct)
@@ -404,7 +424,7 @@ def sgm_aggregate_pallas(
         if not hwd:
             s = jnp.transpose(s, (1, 0, 2))
     else:
-        s = cost
+        s = cost.astype(dt)  # v-only profiling: alias dtype must match out
     if "v" in _passes:
         s = v_call(False, s)
         s = v_call(True, s)
@@ -705,9 +725,7 @@ def sgm_wta_fused_pallas(
             interpret=interpret,
         )(*args)
 
-    bh = max(1, min(8, (2 << 20) // (wp * d * dt.itemsize)))
-    while hp % bh:
-        bh -= 1
+    bh = _v_block_rows(hp, wp, d, dt.itemsize)
     nb = hp // bh
 
     def v_down(acc):
