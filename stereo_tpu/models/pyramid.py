@@ -243,7 +243,7 @@ class PyramidSGM(StereoModel):
             from ..ops.pallas.sgm_kernel import sgm_aggregate_pallas
 
             s = sgm_aggregate_pallas(
-                vol.astype(jnp.int16), res_cfg, interpret=mode
+                vol.astype(jnp.int16), res_cfg, interpret=mode, image=left
             ).astype(jnp.float32)
         else:
             s = sgm_aggregate(vol, res_cfg, image=left)

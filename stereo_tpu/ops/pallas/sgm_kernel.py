@@ -120,6 +120,44 @@ def plan_dims(h, w, d):
     return br, hp, xc, wp
 
 
+def _adaptive_maps(image, cfg, h, w, hp, wp, ct):
+    """Per-direction effective-P2 maps, padded + laid out for the kernels.
+
+    Adaptive P2 (cfg.adaptive_p2, Hirschmueller '08) depends only on the
+    image gradient along each path — never on the scan carry — so it
+    precomputes in XLA (ops/sgm.py adaptive_p2_map: exact int division)
+    and rides into the kernels as small 2-D side inputs (~8 * H * W * 4
+    bytes vs the volume's O(H * W * D) traffic).
+
+    Returns (h_fwd_t, h_rev_t, v_dn, v_up):
+      * h_*_t: (wp, hp) transposed maps matching the horizontal passes'
+        scan layout (predecessors x-1 / x+1);
+      * v_dn / v_up: (hp, n_maps, wp) row-interleaved stacks ordered
+        (vertical, diag A, diag B) — predecessors (y∓1, x), (y∓1, x-1),
+        (y∓1, x+1) — shaped so any BH row blocking keeps legal minors.
+    """
+    from ..sgm import adaptive_p2_map
+
+    if image is None:
+        raise ValueError(
+            "cfg.adaptive_p2 requires the reference image (image=...)"
+        )
+    if image.shape != (h, w):
+        raise ValueError(f"image shape {image.shape} != frame {(h, w)}")
+
+    def m(dy, dx):
+        # Integer-valued and small (<= max(P2, p2_min)): exact in f32.
+        full = adaptive_p2_map(image, cfg, dy, dx).astype(ct)
+        return jnp.pad(full, ((0, hp - h), (0, wp - w)))
+
+    h_fwd_t = jnp.transpose(m(0, -1))
+    h_rev_t = jnp.transpose(m(0, +1))
+    diag = cfg.num_paths == 8
+    dn = [m(-1, 0)] + ([m(-1, -1), m(-1, +1)] if diag else [])
+    up = [m(+1, 0)] + ([m(+1, -1), m(+1, +1)] if diag else [])
+    return h_fwd_t, h_rev_t, jnp.stack(dn, axis=1), jnp.stack(up, axis=1)
+
+
 def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
     """cand - m of the SGM recurrence, vectorized over the D lane axis.
 
@@ -145,11 +183,13 @@ def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
     return cand - m
 
 
-def _h_kernel(b_ref, cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
-              xc, reverse, accumulate, ct=jnp.int32, use_roll=False,
-              out_hwd=False):
+def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
+              ct=jnp.int32, use_roll=False, out_hwd=False):
     """One horizontal direction over a [XC, BR, D] block of the TRANSPOSED
     (W, H, D) volume.
+
+    Refs, in order: bounds (SMEM), cost block, [p2 map block if adaptive],
+    [accumulator block if accumulate], output block, carry scratch.
 
     b_ref: SMEM bounds vector (see N_BOUNDS). The scan fresh-starts at the
     frame edge of its direction: every x <= x_lo for the forward pass,
@@ -163,6 +203,14 @@ def _h_kernel(b_ref, cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
     the wrapper hands this kernel the volume transposed to (W, H, D) and
     the scan is plain cost_ref[x].
 
+    Adaptive P2 (Hirschmueller '08): p2_ref is a [XC, BR] block of the
+    per-pixel effective-P2 map for THIS direction (ops/sgm.py
+    adaptive_p2_map, precomputed in XLA so the int division is exact),
+    sharing the cost block's transposed layout; each step loads one
+    [1, BR] row and transposes it to a [BR, 1] sublane column — the only
+    relayout Mosaic needs (a strided lane slice of a (BR, XC) block would
+    violate the (8, 128) block-minor rule).
+
     With out_hwd=True the x loop is UNROLLED and the XC result slabs are
     concatenated into one [BR, XC, D] write — emitting the accumulator
     directly in (H, W, D) layout for the vertical passes, which removes
@@ -173,6 +221,11 @@ def _h_kernel(b_ref, cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
     carry_ref [BR, D] persists across chunk steps; its stale value from
     the previous row block is masked off at the global scan origin.
     """
+    it = iter(refs)
+    b_ref, cost_ref = next(it), next(it)
+    p2_ref = next(it) if adaptive else None
+    acc_ref = next(it) if accumulate else None
+    out_ref, carry_ref = next(it), next(it)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     dt = out_ref.dtype
@@ -180,7 +233,17 @@ def _h_kernel(b_ref, cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
     x_lo = b_ref[2]
     x_hi = b_ref[3]
 
+    def p2_at(x):
+        if not adaptive:
+            return p2
+        return jnp.transpose(p2_ref[pl.ds(x, 1), :])   # [BR, 1]
+
     if out_hwd:
+        if adaptive:
+            # Unrolled steps take static lane slices of ONE whole-block
+            # transpose instead of XC single-row relayouts.
+            p2t = jnp.transpose(p2_ref[:])             # [BR, XC]
+            p2_at = lambda x: p2t[:, x:x + 1]
         carry = carry_ref[:].astype(ct)
         slabs = [None] * xc
         xs = range(xc - 1, -1, -1) if reverse else range(xc)
@@ -188,7 +251,7 @@ def _h_kernel(b_ref, cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
             gx = chunk * xc + x
             c = cost_ref[x].astype(ct)
             origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
-            l = jnp.where(origin, c, c + _upd(carry, p1, p2, use_roll))
+            l = jnp.where(origin, c, c + _upd(carry, p1, p2_at(x), use_roll))
             slabs[x] = l.astype(dt)[:, None, :]        # [BR, 1, D]
             carry = l
         carry_ref[:] = carry.astype(carry_ref.dtype)
@@ -204,7 +267,7 @@ def _h_kernel(b_ref, cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
         gx = chunk * xc + x
         c = cost_ref[x].astype(ct)
         origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
-        l = jnp.where(origin, c, c + _upd(carry, p1, p2, use_roll))
+        l = jnp.where(origin, c, c + _upd(carry, p1, p2_at(x), use_roll))
         if accumulate:
             out_ref[x] = acc_ref[x] + l.astype(dt)
         else:
@@ -215,22 +278,29 @@ def _h_kernel(b_ref, cost_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
     carry_ref[:] = final.astype(carry_ref.dtype)
 
 
-def _h_no_acc(b_ref, cost_ref, out_ref, carry_ref, *, p1, p2, xc, reverse,
-              ct=jnp.int32, use_roll=False, out_hwd=False):
-    _h_kernel(b_ref, cost_ref, None, out_ref, carry_ref, p1=p1, p2=p2,
-              xc=xc, reverse=reverse, accumulate=False,
-              ct=ct, use_roll=use_roll, out_hwd=out_hwd)
-
-
-def _v_kernel(b_ref, cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
-              *, p1, p2, diag, bh, up, ct=jnp.int32,
+def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
               use_roll=False):
     """T2B + down-right + down-left rows (or the three up paths) for one
     [BH, W, D] row block, accumulated onto acc_ref.
 
+    Refs, in order: bounds (SMEM), cost block, [p2 maps block if adaptive],
+    accumulator block, output block, three carry scratches.
+
     Fresh starts at the in-frame rectangle's edges (b_ref, see N_BOUNDS):
     rows <= y_lo going down / >= y_hi - 1 going up, and for the diagonal
-    carries additionally columns <= x_lo / >= x_hi - 1."""
+    carries additionally columns <= x_lo / >= x_hi - 1.
+
+    Adaptive P2: p2m_ref is a [BH, n_maps, W] block of the per-direction
+    effective-P2 maps (vertical path first, then diagonal A / B when
+    diag), row-interleaved so its block minors (n_maps, W) satisfy the
+    (8, 128) rule for any BH; each row step slices a [1, W] row per path
+    and transposes it to the [W, 1] sublane column the recurrence
+    broadcasts over D."""
+    it = iter(refs)
+    b_ref, cost_ref = next(it), next(it)
+    p2m_ref = next(it) if adaptive else None
+    acc_ref, out_ref = next(it), next(it)
+    vc_ref, d1c_ref, d2c_ref = next(it), next(it), next(it)
     pid = pl.program_id(0)
     nb = pl.num_programs(0)
     dt = out_ref.dtype
@@ -243,6 +313,11 @@ def _v_kernel(b_ref, cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
     # these are not compile-time constants the way static extents were).
     diag_a_fresh = x_iota <= x_lo
     diag_b_fresh = x_iota >= x_hi - 1
+    nm = 3 if diag else 1
+    if adaptive:
+        # ONE whole-block relayout per grid step; every per-row per-path
+        # column is then a free static lane slice.
+        pmt = jnp.transpose(p2m_ref[:].reshape(bh * nm, w))  # [W, BH*nm]
     v = vc_ref[:]
     d1 = d1c_ref[:] if diag else None
     d2 = d2c_ref[:] if diag else None
@@ -251,23 +326,26 @@ def _v_kernel(b_ref, cost_ref, acc_ref, out_ref, vc_ref, d1c_ref, d2c_ref,
         c = cost_ref[r].astype(ct)
         grow = block * bh + r
         origin = (grow >= y_hi - 1) if up else (grow <= y_lo)
-        lv = jnp.where(origin, c, c + _upd(v, p1, p2, use_roll))
+        pv = pmt[:, r * nm:r * nm + 1] if adaptive else p2     # [W, 1]
+        lv = jnp.where(origin, c, c + _upd(v, p1, pv, use_roll))
         acc = lv
         if diag:
             # diagonal A: predecessor one pixel to the LEFT in the previous
             # scan row (down-right going down, up-right going up); fresh
             # start at the frame's left edge.
+            pa = pmt[:, r * nm + 1:r * nm + 2] if adaptive else p2
             d1_sh = jnp.concatenate([d1[:1], d1[:-1]], axis=0)
             l1 = jnp.where(
                 jnp.logical_or(origin, diag_a_fresh),
-                c, c + _upd(d1_sh, p1, p2, use_roll),
+                c, c + _upd(d1_sh, p1, pa, use_roll),
             )
             # diagonal B: predecessor one pixel to the RIGHT; fresh start
             # at the frame's right edge.
+            pb = pmt[:, r * nm + 2:r * nm + 3] if adaptive else p2
             d2_sh = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
             l2 = jnp.where(
                 jnp.logical_or(origin, diag_b_fresh),
-                c, c + _upd(d2_sh, p1, p2, use_roll),
+                c, c + _upd(d2_sh, p1, pb, use_roll),
             )
             acc = acc + l1 + l2
             d1, d2 = l1, l2
@@ -288,28 +366,29 @@ def sgm_aggregate_pallas(
     use_roll: bool = False,
     bounds: jnp.ndarray = None,
     acc_dtype=None,
+    image: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """S(p, d) = sum of 4/8 SGM path costs over four blocked HBM passes.
 
     Args:
       cost: [H, W, D] integer cost volume (int8 where the unary bound
         allows — census/rank — else int16).
-      cfg: static config; num_paths in {4, 8}; adaptive_p2 unsupported
-        here (the golden path covers it).
+      cfg: static config; num_paths in {4, 8}.
       bounds: optional int32[N_BOUNDS] in-frame rectangle (frame_bounds());
         carries fresh-start at its edges instead of the block edges —
         bit-exact inside the rectangle vs the golden sgm_aggregate with
         the matching rectangular valid mask. None = whole block valid.
       acc_dtype: dtype of the path accumulator S (default: cost.dtype).
         Must hold num_paths * (max_unary_cost + P2); int16 for 8 paths.
+      image: [H, W] reference-view intensities; required when
+        cfg.adaptive_p2 (per-direction effective-P2 maps, _adaptive_maps).
 
     Returns: [H, W, D] summed volume in acc_dtype, bit-exact vs the golden
     sgm_aggregate for full-frame (all-valid) inputs.
     """
     if cfg.num_paths == 0:
         return cost
-    if cfg.adaptive_p2:
-        raise NotImplementedError("adaptive_p2: use the golden sgm_aggregate")
+    adaptive = bool(cfg.adaptive_p2)
     h, w, d = cost.shape
     if bounds is None:
         bounds = frame_bounds(h, w)
@@ -333,6 +412,10 @@ def sgm_aggregate_pallas(
     if (hp, wp) != (h, w):
         cost = jnp.pad(cost, ((0, hp - h), (0, wp - w), (0, 0)))
     grid_h = (hp // br, wp // xc)
+    if adaptive:
+        p2h_f, p2h_r, p2v_dn, p2v_up = _adaptive_maps(
+            image, cfg, h, w, hp, wp, ct
+        )
     # The unrolled no-transpose output assembles [BR, XC, D] blocks by
     # middle-dim concatenation, which Mosaic only lowers when D fills the
     # 128-lane register; smaller D emits in the scan (W, H, D) layout via
@@ -358,26 +441,32 @@ def sgm_aggregate_pallas(
         ) if hwd else im_in
         out_block = (br, xc, d) if hwd else (xc, br, d)
         out_extent = (hp, wp, d) if hwd else (wp, hp, d)
+        im_2d = (
+            (lambda i, j: (grid_h[1] - 1 - j, i))
+            if reverse
+            else (lambda i, j: (j, i))
+        )
         in_specs = [
             _SMEM_SPEC,
             pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM),
         ]
         args = [bounds, cost_whd]
+        if adaptive:
+            in_specs.append(
+                pl.BlockSpec((xc, br), im_2d, memory_space=pltpu.VMEM)
+            )
+            args.append(p2h_r if reverse else p2h_f)
         if accumulate:
             in_specs.append(
                 pl.BlockSpec(out_block, im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
-            body = functools.partial(
-                _h_kernel, p1=p1, p2=p2, xc=xc,
-                reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
-                out_hwd=hwd,
-            )
-        else:
-            body = functools.partial(
-                _h_no_acc, p1=p1, p2=p2, xc=xc, reverse=reverse,
-                ct=ct, use_roll=use_roll, out_hwd=hwd,
-            )
+        body = functools.partial(
+            _h_kernel, p1=p1, p2=p2, xc=xc,
+            reverse=reverse, accumulate=accumulate, adaptive=adaptive,
+            ct=ct, use_roll=use_roll, out_hwd=hwd,
+        )
+        alias = {len(args) - 1: 0} if accumulate else {}
         return pl.pallas_call(
             body,
             grid=grid_h,
@@ -386,7 +475,7 @@ def sgm_aggregate_pallas(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(out_extent, dt),
             scratch_shapes=[pltpu.VMEM((br, d), ct)],
-            input_output_aliases={2: 0} if accumulate else {},
+            input_output_aliases=alias,
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(*args)
@@ -396,24 +485,34 @@ def sgm_aggregate_pallas(
         nb = hp // bh
         im = (lambda i: (nb - 1 - i, 0, 0)) if up else (lambda i: (i, 0, 0))
         carry = lambda: pltpu.VMEM((wp, d), ct)
+        in_specs = [
+            _SMEM_SPEC,
+            pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
+        ]
+        args = [bounds, cost]
+        if adaptive:
+            nm = 3 if diag else 1
+            in_specs.append(
+                pl.BlockSpec((bh, nm, wp), im, memory_space=pltpu.VMEM)
+            )
+            args.append(p2v_up if up else p2v_dn)
+        in_specs.append(pl.BlockSpec((bh, wp, d), im,
+                                     memory_space=pltpu.VMEM))
+        args.append(acc)
         return pl.pallas_call(
             functools.partial(
-                _v_kernel, p1=p1, p2=p2,
-                diag=diag, bh=bh, up=up, ct=ct, use_roll=use_roll,
+                _v_kernel, p1=p1, p2=p2, diag=diag, bh=bh, up=up,
+                adaptive=adaptive, ct=ct, use_roll=use_roll,
             ),
             grid=(nb,),
-            in_specs=[
-                _SMEM_SPEC,
-                pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
-                pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
             scratch_shapes=[carry(), carry(), carry()],
-            input_output_aliases={2: 0},
+            input_output_aliases={len(args) - 1: 0},
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
-        )(bounds, cost, acc)
+        )(*args)
 
     # _passes is a profiling knob ("h" / "v" / "hv"); results are only
     # meaningful SGM sums for the default "hv".
@@ -463,10 +562,8 @@ def _epilogue_shift(mat, base_shift, wp, interpret, sign=1):
     return mat
 
 
-def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref, aux_ref,
-                    vc_ref, d1c_ref, d2c_ref,
-                    *, p1, p2, diag, bh, ct, use_roll, cfg,
-                    interpret, image_width):
+def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
+                    interpret, image_width, adaptive=False):
     """Bottom-up vertical pass + FULL selection epilogue, never writing S.
 
     Per row, after summing the up paths onto the forward accumulator:
@@ -486,7 +583,18 @@ def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref, aux_ref,
     gather on 2-D maps is cheap in XLA — it was the [H, W, D] volume
     gathers that were catastrophic — and it drops the second, opposite-
     direction shift pyramid the in-kernel compare needed.
+
+    Refs, in order: bounds (SMEM), cost block, [p2 maps block if adaptive
+    — [BH, n_maps, W] per-direction effective-P2, see _v_kernel], forward
+    accumulator block, disp/valid/aux outputs, three carry scratches.
     """
+    it = iter(refs)
+    b_ref, cost_ref = next(it), next(it)
+    p2m_ref = next(it) if adaptive else None
+    acc_ref, disp_ref, valid_ref, aux_ref = (
+        next(it), next(it), next(it), next(it)
+    )
+    vc_ref, d1c_ref, d2c_ref = next(it), next(it), next(it)
     pid = pl.program_id(0)
     nb = pl.num_programs(0)
     w, d = vc_ref.shape
@@ -509,6 +617,10 @@ def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref, aux_ref,
     pdf = jnp.float32(pd)
     inv_pd = jnp.float32(1.0 / pd)
 
+    nm = 3 if diag else 1
+    if adaptive:
+        # See _v_kernel: one whole-block relayout, free per-row slices.
+        pmt = jnp.transpose(p2m_ref[:].reshape(bh * nm, w))  # [W, BH*nm]
     v = vc_ref[:]
     d1 = d1c_ref[:] if diag else None
     d2 = d2c_ref[:] if diag else None
@@ -521,18 +633,21 @@ def _v_fused_kernel(b_ref, cost_ref, acc_ref, disp_ref, valid_ref, aux_ref,
         c = cost_ref[r].astype(ct)
         grow = block * bh + r
         origin = grow >= y_hi - 1
-        lv = jnp.where(origin, c, c + _upd(v, p1, p2, use_roll))
+        pv = pmt[:, r * nm:r * nm + 1] if adaptive else p2     # [W, 1]
+        lv = jnp.where(origin, c, c + _upd(v, p1, pv, use_roll))
         acc = lv
         if diag:
+            pa = pmt[:, r * nm + 1:r * nm + 2] if adaptive else p2
             d1_sh = jnp.concatenate([d1[:1], d1[:-1]], axis=0)
             l1 = jnp.where(
                 jnp.logical_or(origin, diag_a_fresh),
-                c, c + _upd(d1_sh, p1, p2, use_roll),
+                c, c + _upd(d1_sh, p1, pa, use_roll),
             )
+            pb = pmt[:, r * nm + 2:r * nm + 3] if adaptive else p2
             d2_sh = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
             l2 = jnp.where(
                 jnp.logical_or(origin, diag_b_fresh),
-                c, c + _upd(d2_sh, p1, p2, use_roll),
+                c, c + _upd(d2_sh, p1, pb, use_roll),
             )
             acc = acc + l1 + l2
             d1, d2 = l1, l2
@@ -615,9 +730,14 @@ def sgm_wta_fused_pallas(
     bounds: jnp.ndarray = None,
     image_width: int = None,
     acc_dtype=None,
+    image: jnp.ndarray = None,
 ):
     """SGM + WTA + subpixel + uniqueness + LR-check, S never materialized
     in its final form.
+
+    ``image`` ([H, W] reference-view intensities, true shape) is required
+    when cfg.adaptive_p2 — the per-direction effective-P2 maps ride into
+    every pass (see _adaptive_maps).
 
     Runs the two horizontal passes and the downward vertical pass exactly
     like sgm_aggregate_pallas, then the fused bottom-up kernel emits
@@ -635,8 +755,9 @@ def sgm_wta_fused_pallas(
     the in-frame rectangle up to the halo-warm-up approximation the caller
     chose (parallel/tiling.py measures it).
     """
-    if cfg.num_paths == 0 or cfg.adaptive_p2:
-        raise NotImplementedError("fused path requires SGM without adaptive P2")
+    if cfg.num_paths == 0:
+        raise NotImplementedError("fused path requires SGM (num_paths > 0)")
+    adaptive = bool(cfg.adaptive_p2)
     h, w = true_shape if true_shape is not None else cost.shape[:2]
     d = cost.shape[2]
     if image_width is None:
@@ -669,6 +790,10 @@ def sgm_wta_fused_pallas(
             f"padded {(hp, wp)} extents"
         )
     grid_h = (hp // br, wp // xc)
+    if adaptive:
+        p2h_f, p2h_r, p2v_dn, p2v_up = _adaptive_maps(
+            image, cfg, h, w, hp, wp, ct
+        )
     # See sgm_aggregate_pallas: the no-transpose [BR, XC, D] assembly needs
     # a full 128-lane D; smaller D emits (W, H, D) and transposes in XLA.
     hwd = d >= 128
@@ -692,26 +817,32 @@ def sgm_wta_fused_pallas(
         ) if hwd else im_in
         out_block = (br, xc, d) if hwd else (xc, br, d)
         out_extent = (hp, wp, d) if hwd else (wp, hp, d)
+        im_2d = (
+            (lambda i, j: (grid_h[1] - 1 - j, i))
+            if reverse
+            else (lambda i, j: (j, i))
+        )
         in_specs = [
             _SMEM_SPEC,
             pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM),
         ]
         args = [bounds, cost_whd]
+        if adaptive:
+            in_specs.append(
+                pl.BlockSpec((xc, br), im_2d, memory_space=pltpu.VMEM)
+            )
+            args.append(p2h_r if reverse else p2h_f)
         if accumulate:
             in_specs.append(
                 pl.BlockSpec(out_block, im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
-            body = functools.partial(
-                _h_kernel, p1=p1, p2=p2, xc=xc,
-                reverse=reverse, accumulate=True, ct=ct, use_roll=use_roll,
-                out_hwd=hwd,
-            )
-        else:
-            body = functools.partial(
-                _h_no_acc, p1=p1, p2=p2, xc=xc, reverse=reverse,
-                ct=ct, use_roll=use_roll, out_hwd=hwd,
-            )
+        body = functools.partial(
+            _h_kernel, p1=p1, p2=p2, xc=xc,
+            reverse=reverse, accumulate=accumulate, adaptive=adaptive,
+            ct=ct, use_roll=use_roll, out_hwd=hwd,
+        )
+        alias = {len(args) - 1: 0} if accumulate else {}
         return pl.pallas_call(
             body,
             grid=grid_h,
@@ -720,35 +851,45 @@ def sgm_wta_fused_pallas(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(out_extent, dt),
             scratch_shapes=[pltpu.VMEM((br, d), ct)],
-            input_output_aliases={2: 0} if accumulate else {},
+            input_output_aliases=alias,
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(*args)
 
     bh = _v_block_rows(hp, wp, d, dt.itemsize)
     nb = hp // bh
+    nm = 3 if diag else 1
 
     def v_down(acc):
         im = lambda i: (i, 0, 0)
         carry = lambda: pltpu.VMEM((wp, d), ct)
+        in_specs = [
+            _SMEM_SPEC,
+            pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
+        ]
+        args = [bounds, cost]
+        if adaptive:
+            in_specs.append(
+                pl.BlockSpec((bh, nm, wp), im, memory_space=pltpu.VMEM)
+            )
+            args.append(p2v_dn)
+        in_specs.append(pl.BlockSpec((bh, wp, d), im,
+                                     memory_space=pltpu.VMEM))
+        args.append(acc)
         return pl.pallas_call(
             functools.partial(
-                _v_kernel, p1=p1, p2=p2,
-                diag=diag, bh=bh, up=False, ct=ct, use_roll=use_roll,
+                _v_kernel, p1=p1, p2=p2, diag=diag, bh=bh, up=False,
+                adaptive=adaptive, ct=ct, use_roll=use_roll,
             ),
             grid=(nb,),
-            in_specs=[
-                _SMEM_SPEC,
-                pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
-                pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
             scratch_shapes=[carry(), carry(), carry()],
-            input_output_aliases={2: 0},
+            input_output_aliases={len(args) - 1: 0},
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
-        )(bounds, cost, acc)
+        )(*args)
 
     def v_up_fused(acc):
         # bh is forced to 8 here: the 2D output blocks [BH, W] need an
@@ -758,18 +899,28 @@ def sgm_wta_fused_pallas(
         im3 = lambda i: (nbf - 1 - i, 0, 0)
         im2 = lambda i: (nbf - 1 - i, 0)
         carry = lambda: pltpu.VMEM((wp, d), ct)
+        in_specs = [
+            _SMEM_SPEC,
+            pl.BlockSpec((bhf, wp, d), im3, memory_space=pltpu.VMEM),
+        ]
+        args = [bounds, cost]
+        if adaptive:
+            in_specs.append(
+                pl.BlockSpec((bhf, nm, wp), im3, memory_space=pltpu.VMEM)
+            )
+            args.append(p2v_up)
+        in_specs.append(pl.BlockSpec((bhf, wp, d), im3,
+                                     memory_space=pltpu.VMEM))
+        args.append(acc)
         return pl.pallas_call(
             functools.partial(
                 _v_fused_kernel, p1=p1, p2=p2,
                 diag=diag, bh=bhf, ct=ct, use_roll=use_roll, cfg=cfg,
+                adaptive=adaptive,
                 interpret=interpret, image_width=image_width,
             ),
             grid=(nbf,),
-            in_specs=[
-                _SMEM_SPEC,
-                pl.BlockSpec((bhf, wp, d), im3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((bhf, wp, d), im3, memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
@@ -783,7 +934,7 @@ def sgm_wta_fused_pallas(
             scratch_shapes=[carry(), carry(), carry()],
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
-        )(bounds, cost, acc)
+        )(*args)
 
     if cost_whd is None:
         cost_whd = jnp.transpose(cost, (1, 0, 2))

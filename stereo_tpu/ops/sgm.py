@@ -152,6 +152,36 @@ def _unshear(x: jnp.ndarray, sign: int, w: int) -> jnp.ndarray:
     )
 
 
+def adaptive_p2_map(image: jnp.ndarray, cfg: StereoConfig, dy: int, dx: int
+                    ) -> jnp.ndarray:
+    """Per-pixel effective P2 for one path direction (Hirschmueller '08).
+
+    The golden recurrence (``_scan_direction``) computes, per scan step,
+    ``grad = |I(p) - I(p - r)|`` and ``p2_eff = max(p2_min, P2 // grad)``
+    (``P2`` where the gradient is zero). Because this depends only on the
+    image — never on the carry — it precomputes as a pure elementwise map,
+    which is how the Pallas kernels consume it (ops/pallas/sgm_kernel.py:
+    one [H, W] map per direction, broadcast over D in the recurrence).
+
+    Args:
+      image: [H, W] intensities.
+      cfg: supplies p2 / p2_min.
+      dy, dx: offset of the path PREDECESSOR: pred(y, x) = (y+dy, x+dx).
+
+    Returns [H, W] int32. Entries whose predecessor falls outside the
+    image are don't-care (the scans fresh-start there).
+    """
+    img = image.astype(jnp.int32)
+    prev = jnp.roll(img, (-dy, -dx), (0, 1))
+    grad = jnp.abs(img - prev)
+    p2 = jnp.int32(cfg.p2)
+    return jnp.where(
+        grad > 0,
+        jnp.maximum(jnp.int32(cfg.p2_min), p2 // jnp.maximum(grad, 1)),
+        p2,
+    )
+
+
 def sgm_aggregate(
     cost: jnp.ndarray,
     cfg: StereoConfig,

@@ -50,8 +50,9 @@ def _pallas_mode(cfg: StereoConfig, valid, constrain, rect: bool = False):
     for RECTANGULAR-frame tiles (``rect``: the caller passed tile offsets +
     global frame extents, so any ``valid`` mask is exactly the in-frame
     rectangle — parallel/tiling.py's halo tiles). Arbitrarily-masked and
-    sharding-constrained (exact-reshard) calls and adaptive-P2 configs use
-    the golden lax.scan implementation.
+    sharding-constrained (exact-reshard) calls use the golden lax.scan
+    implementation; adaptive-P2 configs ride the Pallas kernels (the
+    per-direction effective-P2 maps precompute in XLA).
 
     Returns None (golden) or an ``interpret`` bool for the Pallas kernels
     (backend="pallas_interpret" runs them in interpreter mode — CPU CI for
@@ -62,14 +63,13 @@ def _pallas_mode(cfg: StereoConfig, valid, constrain, rect: bool = False):
     forced = cfg.backend in ("pallas", "pallas_interpret")
     blocked = (
         constrain is not None
-        or cfg.adaptive_p2
         or (valid is not None and not rect)
     )
     if blocked:
         if forced:
             raise NotImplementedError(
-                "pallas backend does not support masked/constrained/"
-                "adaptive-P2 aggregation yet; use backend='auto' or 'jnp'"
+                "pallas backend does not support masked/constrained "
+                "aggregation yet; use backend='auto' or 'jnp'"
             )
         return None
     if cfg.num_paths == 0:
@@ -175,7 +175,7 @@ def _aggregate(
         h, w = left.shape
         s16 = sgm_aggregate_pallas(
             vol.astype(_vol_dtype(cfg, h, w)), cfg, interpret=mode,
-            acc_dtype=jnp.int16,
+            acc_dtype=jnp.int16, image=left,
         )
         return s16.astype(jnp.float32)
     if jax.default_backend() == "tpu":
@@ -263,7 +263,7 @@ def compute_disparity(
                 vol, cfg, cost_whd=vol_whd, true_shape=left.shape,
                 x_offset=x_offset if static_off else 0,
                 bounds=bounds, image_width=iw, interpret=interpret,
-                acc_dtype=jnp.int16,
+                acc_dtype=jnp.int16, image=left,
             )
         elif static_off or rect:
             vol = cost_volume(left, right, cfg, x_offset=x_offset)
@@ -271,7 +271,7 @@ def compute_disparity(
                 vol.astype(_vol_dtype(cfg, th, tw)), cfg,
                 x_offset=x_offset if static_off else 0,
                 bounds=bounds, image_width=iw, interpret=interpret,
-                acc_dtype=jnp.int16,
+                acc_dtype=jnp.int16, image=left,
             )
         else:
             vol = cost_volume(left, right, cfg, x_offset=x_offset)

@@ -176,6 +176,37 @@ def test_halo_mode_pallas_matches_golden_tiles(mesh42, seed):
     np.testing.assert_allclose(np.array(dp), np.array(dg), atol=1e-5)
 
 
+def test_exact_mode_adaptive_p2_bit_identical(mesh42):
+    """Adaptive P2 through the exact (reshard) distributed mode."""
+    pair = make_pair((48, 64), max_disp=8, kind="shapes", seed=6)
+    cfg = StereoConfig(
+        num_disparities=16, num_paths=8, adaptive_p2=True, p2_min=20,
+        subpixel=True,
+    )
+    fn = build_exact_pipeline(cfg, mesh42)
+    disp, valid = fn(pair.left, pair.right)
+    g_disp, g_valid = _golden(pair, cfg)
+    np.testing.assert_array_equal(np.array(disp), g_disp)
+    np.testing.assert_array_equal(np.array(valid), g_valid)
+
+
+def test_halo_mode_pallas_adaptive_p2_matches_golden_tiles(mesh42):
+    """Adaptive-P2 effective-P2 maps inside halo tiles: the fused Pallas
+    path (tile image threaded through compute_disparity) reproduces the
+    golden-tiled output bit-for-bit."""
+    pair = make_pair((64, 96), max_disp=10, kind="shapes", seed=7)
+    cfg = StereoConfig(
+        num_disparities=16, num_paths=8, adaptive_p2=True, p2_min=20,
+        subpixel=True, lr_check=True,
+    )
+    fn_g = build_halo_pipeline(cfg.replace(backend="jnp"), mesh42)
+    fn_p = build_halo_pipeline(cfg.replace(backend="pallas_interpret"), mesh42)
+    dg, vg = fn_g(pair.left, pair.right)
+    dp, vp = fn_p(pair.left, pair.right)
+    np.testing.assert_array_equal(np.array(vp), np.array(vg))
+    np.testing.assert_allclose(np.array(dp), np.array(dg), atol=1e-5)
+
+
 def test_dplane_cost_sharding_bit_identical(mesh42):
     """P3 disparity-plane sharding: the cost volume is built D-sharded
     over all 8 devices, then XLA all_to_alls it to the spatial shardings

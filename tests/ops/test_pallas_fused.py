@@ -135,6 +135,55 @@ def test_fused_int8_cost_int16_acc_matches_golden():
     np.testing.assert_allclose(np.array(disp), g_disp, atol=1e-5)
 
 
+@pytest.mark.parametrize("paths", [4, 8])
+def test_fused_adaptive_p2_matches_golden(paths):
+    """Adaptive P2 through the fused kernel: the per-direction effective-P2
+    maps feed all passes including the fused bottom-up epilogue."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(paths + 40)
+    h, w, d = 24, 40, 16
+    cost = rng.integers(0, 60, size=(h, w, d)).astype(np.int16)
+    img = jnp.asarray(rng.integers(0, 255, size=(h, w)).astype(np.uint8))
+    cfg = StereoConfig(
+        num_disparities=d, num_paths=paths, p1=7, p2=100,
+        adaptive_p2=True, p2_min=17,
+        subpixel=True, lr_check=True, median_filter=False,
+    )
+    disp, valid = sgm_wta_fused_pallas(cost, cfg, interpret=True, image=img)
+    s = sgm_aggregate(cost.astype(np.int32), cfg, image=img)
+    g_disp, g_ok, d_int = wta_with_aux(s, cfg)
+    g_disp, g_ok = apply_postprocess(
+        g_disp, g_ok, s, cfg.replace(median_filter=False), disp_int=d_int
+    )
+    np.testing.assert_array_equal(np.array(valid), np.array(g_ok))
+    np.testing.assert_allclose(np.array(disp), np.array(g_disp), atol=1e-5)
+
+
+def test_pipeline_adaptive_p2_dispatch_matches_golden():
+    """End-to-end adaptive-P2 config through the pallas_interpret backend
+    (the pipeline threads the reference image into the fused kernels)."""
+    from stereo_tpu.pipeline.pipeline import compute_disparity
+
+    rng = np.random.default_rng(9)
+    h, w = 48, 144
+    left = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    right = np.roll(left, 4, axis=1)
+    cfg = StereoConfig(
+        cost_fn="census", census_window=(5, 5), num_disparities=16,
+        num_paths=8, p1=10, p2=120, adaptive_p2=True, p2_min=25,
+        subpixel=True, lr_check=True, median_filter=True,
+    )
+    fast = compute_disparity(
+        left, right, cfg.replace(backend="pallas_interpret")
+    )
+    gold = compute_disparity(left, right, cfg.replace(backend="jnp"))
+    np.testing.assert_array_equal(np.array(fast.valid), np.array(gold.valid))
+    np.testing.assert_allclose(
+        np.array(fast.disp), np.array(gold.disp), atol=1e-5
+    )
+
+
 def test_pipeline_int8_volume_dispatch_matches_golden():
     """End-to-end: a frame whose padded dims align for the int8 volume
     (_vol_dtype -> int8, cost kernel bh=32 blocking) must match the golden

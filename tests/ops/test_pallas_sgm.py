@@ -50,6 +50,67 @@ def test_pallas_sgm_zero_penalties():
 
 
 @pytest.mark.parametrize("paths", [4, 8])
+def test_pallas_sgm_adaptive_p2_matches_golden(paths):
+    """Adaptive P2 (Hirschmueller '08): per-direction effective-P2 maps
+    through all four blocked passes, bit-exact vs the golden image-gradient
+    recurrence."""
+    rng = np.random.default_rng(paths + 20)
+    h, w, d = 37, 150, 32  # exercises row and column padding
+    cost = rng.integers(0, 60, size=(h, w, d)).astype(np.int32)
+    img = rng.integers(0, 255, size=(h, w)).astype(np.uint8)
+    cfg = StereoConfig(
+        num_disparities=d, num_paths=paths, p1=7, p2=100,
+        adaptive_p2=True, p2_min=17,
+    )
+    got = np.array(
+        sgm_aggregate_pallas(
+            cost.astype(np.int16), cfg, interpret=True,
+            acc_dtype=np.int16, image=img,
+        )
+    ).astype(np.int32)
+    want = np.array(sgm_aggregate(cost, cfg, image=img))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_sgm_adaptive_p2_requires_image():
+    cost = np.zeros((8, 16, 8), np.int32)
+    cfg = StereoConfig(num_paths=4, adaptive_p2=True)
+    with pytest.raises(ValueError, match="image"):
+        sgm_aggregate_pallas(cost, cfg, interpret=True)
+
+
+def test_pallas_sgm_adaptive_p2_rect_bounds():
+    """Adaptive P2 on a tile: frame-bounds fresh starts + gradient maps
+    from the tile image agree with the golden masked recurrence inside
+    the in-frame rectangle."""
+    import jax.numpy as jnp
+
+    from stereo_tpu.ops.pallas.sgm_kernel import frame_bounds
+
+    rng = np.random.default_rng(31)
+    h, w, d = 24, 40, 16
+    cost = rng.integers(0, 60, size=(h, w, d)).astype(np.int32)
+    img = rng.integers(0, 255, size=(h, w)).astype(np.uint8)
+    cfg = StereoConfig(
+        num_disparities=d, num_paths=8, p1=7, p2=100,
+        adaptive_p2=True, p2_min=17,
+    )
+    y0, x0, ih, iw = -5, -7, 17, 29
+    b = frame_bounds(h, w, x_offset=x0, y_offset=y0,
+                     image_width=iw, image_height=ih)
+    got = np.array(
+        sgm_aggregate_pallas(cost, cfg, interpret=True, bounds=b, image=img)
+    )
+    ys = y0 + np.arange(h)[:, None]
+    xs = x0 + np.arange(w)[None, :]
+    rect = (ys >= 0) & (ys < ih) & (xs >= 0) & (xs < iw)
+    want = np.array(
+        sgm_aggregate(cost, cfg, image=img, valid=jnp.asarray(rect))
+    )
+    np.testing.assert_array_equal(got[rect], want[rect])
+
+
+@pytest.mark.parametrize("paths", [4, 8])
 def test_pallas_sgm_rect_bounds_matches_masked_golden(paths):
     """Traced frame bounds == golden rectangular valid mask, inside the rect.
 
