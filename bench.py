@@ -218,14 +218,17 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
     print(json.dumps(rec4), file=sys.stderr)
 
     runs = [
-        ("tsukuba_sad16", "classic", (288, 384), 14, {}),
-        ("middlebury_census_sgm4_64", "classic", (555, 900), 48, {}),
-        ("kitti_sgm8_128", "pyramid", (375, 1242), 96, {}),
+        ("tsukuba_sad16", "classic", (288, 384), 14, {}, ""),
+        ("middlebury_census_sgm4_64", "classic", (555, 900), 48, {}, ""),
+        ("kitti_sgm8_128", "pyramid", (375, 1242), 96, {}, ""),
+        ("kitti_sgm8_128", "classic", (375, 1242), 96,
+         {"adaptive_p2": True, "p2_min": 17}, "+adaptiveP2"),
     ]
     if quick:
-        runs = [(p_, m_, (96, 160), 12, {"num_disparities": 16})
-                for (p_, m_, _, _, _) in runs]
-    for preset, model_name, shape, max_disp, overrides in runs:
+        runs = [(p_, m_, (96, 160), 12,
+                 {"num_disparities": 16, **o_}, s_)
+                for (p_, m_, _, _, o_, s_) in runs]
+    for preset, model_name, shape, max_disp, overrides, suffix in runs:
         cfg = PRESETS[preset].replace(**overrides) if overrides else PRESETS[preset]
         pair = make_pair(shape, max_disp=max_disp, kind="shapes",
                          texture="cloud", seed=0)
@@ -240,7 +243,7 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
             np.asarray(res.valid),
         )
         rec = {
-            "metric": f"{preset}+{model_name}_fps_per_chip",
+            "metric": f"{preset}+{model_name}{suffix}_fps_per_chip",
             "value": round(1.0 / sec, 3),
             "unit": "fps",
             "shape": list(shape),

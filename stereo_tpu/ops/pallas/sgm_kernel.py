@@ -87,6 +87,9 @@ _BR_CAP = 128
 _XC = 64
 _V_BLOCK_BYTES = 2 << 20
 _V_BH_CAP = 8
+#: Lane-pack small-D volumes (G = 128/D scanlines or x per lane group);
+#: module knob so hardware sweeps can compare against the unpacked path.
+_PACK_SMALL_D = True
 
 
 def _v_block_rows(hp, wp, d, itemsize):
@@ -183,8 +186,50 @@ def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
     return cand - m
 
 
+def _rot(x, s):
+    """Lane rotate by +s: out[..., i] = x[..., (i + s) % d].
+
+    Expressed as a concat of two static lane slices, which Mosaic lowers
+    as shifts (works compiled and in interpret mode alike).
+    """
+    if s == 0:
+        return x
+    return jnp.concatenate([x[..., s:], x[..., :s]], axis=-1)
+
+
+def _seg_lane(shape, r):
+    """lane % r iota (r a power of two dividing the lane extent)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return lane & (r - 1)
+
+
+def _seg_upd(prev, p1, p2, r):
+    """_upd restricted to independent lane SEGMENTS of size r.
+
+    The lane axis packs G = d // r independent problems (adjacent
+    scanlines in the horizontal passes, adjacent x in the vertical
+    passes), each with an r-wide disparity range: d+-1 shifts replicate
+    at segment edges and min_k reduces within segments via a rotate
+    butterfly (all lanes of a segment end up holding the segment min).
+    Bit-identical to running _upd per segment.
+    """
+    g = _seg_lane(prev.shape, r)
+    m = prev
+    s = 1
+    while s < r:
+        # within-segment rotate by +s: wrap lanes take the second rotate
+        main = _rot(m, s)
+        wrap = _rot(m, s - r)
+        m = jnp.minimum(m, jnp.where(g < r - s, main, wrap))
+        s *= 2
+    dn = jnp.where(g == 0, prev, _rot(prev, -1)) + p1
+    up = jnp.where(g == r - 1, prev, _rot(prev, 1)) + p1
+    cand = jnp.minimum(jnp.minimum(prev, m + p2), jnp.minimum(dn, up))
+    return cand - m
+
+
 def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
-              ct=jnp.int32, use_roll=False, out_hwd=False):
+              ct=jnp.int32, use_roll=False, out_hwd=False, seg=None):
     """One horizontal direction over a [XC, BR, D] block of the TRANSPOSED
     (W, H, D) volume.
 
@@ -238,6 +283,11 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
             return p2
         return jnp.transpose(p2_ref[pl.ds(x, 1), :])   # [BR, 1]
 
+    if seg:
+        upd = lambda prev, p2x: _seg_upd(prev, p1, p2x, seg)
+    else:
+        upd = lambda prev, p2x: _upd(prev, p1, p2x, use_roll)
+
     if out_hwd:
         if adaptive:
             # Unrolled steps take static lane slices of ONE whole-block
@@ -251,7 +301,7 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
             gx = chunk * xc + x
             c = cost_ref[x].astype(ct)
             origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
-            l = jnp.where(origin, c, c + _upd(carry, p1, p2_at(x), use_roll))
+            l = jnp.where(origin, c, c + upd(carry, p2_at(x)))
             slabs[x] = l.astype(dt)[:, None, :]        # [BR, 1, D]
             carry = l
         carry_ref[:] = carry.astype(carry_ref.dtype)
@@ -267,7 +317,7 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
         gx = chunk * xc + x
         c = cost_ref[x].astype(ct)
         origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
-        l = jnp.where(origin, c, c + _upd(carry, p1, p2_at(x), use_roll))
+        l = jnp.where(origin, c, c + upd(carry, p2_at(x)))
         if accumulate:
             out_ref[x] = acc_ref[x] + l.astype(dt)
         else:
@@ -279,7 +329,7 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
 
 
 def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
-              use_roll=False):
+              use_roll=False, seg=None):
     """T2B + down-right + down-left rows (or the three up paths) for one
     [BH, W, D] row block, accumulated onto acc_ref.
 
@@ -295,7 +345,15 @@ def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
     diag), row-interleaved so its block minors (n_maps, W) satisfy the
     (8, 128) rule for any BH; each row step slices a [1, W] row per path
     and transposes it to the [W, 1] sublane column the recurrence
-    broadcasts over D."""
+    broadcasts over D.
+
+    Lane packing (seg = r): for small disparity ranges the block is the
+    PACKED volume [BH, W/G, G*r] with G = 128 // r adjacent x sharing the
+    lane axis (lane = g*r + rd, x = xg*G + g). The scan axis (rows) is
+    untouched, so origin masks are unchanged; the recurrence becomes the
+    segmented _seg_upd and the diagonal one-pixel x shifts become a lane
+    rotate by r with a sublane-boundary fix. Bit-identical to the
+    unpacked kernel per segment."""
     it = iter(refs)
     b_ref, cost_ref = next(it), next(it)
     p2m_ref = next(it) if adaptive else None
@@ -308,7 +366,32 @@ def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
     block = (nb - 1 - pid) if up else pid
     y_lo, y_hi, x_lo, x_hi = b_ref[0], b_ref[1], b_ref[2], b_ref[3]
 
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, (w, d), 0)
+    if seg:
+        g_lanes = d // seg
+        sub = jax.lax.broadcasted_iota(jnp.int32, (w, d), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (w, d), 1)
+        x_iota = sub * g_lanes + lane // seg
+        upd = lambda prev, p2x: _seg_upd(prev, p1, p2x, seg)
+
+        def shift_a(m):
+            # predecessor x-1: lane rotate by -seg; the first group of
+            # each sublane pulls from the previous sublane's last group.
+            a = _rot(m, -seg)
+            b = jnp.concatenate([a[:1], a[:-1]], axis=0)
+            return jnp.where(lane < seg, b, a)
+
+        def shift_b(m):
+            # predecessor x+1: lane rotate by +seg; last group pulls from
+            # the next sublane's first group.
+            a = _rot(m, seg)
+            b = jnp.concatenate([a[1:], a[-1:]], axis=0)
+            return jnp.where(lane >= d - seg, b, a)
+    else:
+        x_iota = jax.lax.broadcasted_iota(jnp.int32, (w, d), 0)
+        upd = lambda prev, p2x: _upd(prev, p1, p2x, use_roll)
+        shift_a = lambda m: jnp.concatenate([m[:1], m[:-1]], axis=0)
+        shift_b = lambda m: jnp.concatenate([m[1:], m[-1:]], axis=0)
+
     # Row-loop invariants, hoisted (the bound scalars come from SMEM so
     # these are not compile-time constants the way static extents were).
     diag_a_fresh = x_iota <= x_lo
@@ -327,25 +410,23 @@ def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
         grow = block * bh + r
         origin = (grow >= y_hi - 1) if up else (grow <= y_lo)
         pv = pmt[:, r * nm:r * nm + 1] if adaptive else p2     # [W, 1]
-        lv = jnp.where(origin, c, c + _upd(v, p1, pv, use_roll))
+        lv = jnp.where(origin, c, c + upd(v, pv))
         acc = lv
         if diag:
             # diagonal A: predecessor one pixel to the LEFT in the previous
             # scan row (down-right going down, up-right going up); fresh
             # start at the frame's left edge.
             pa = pmt[:, r * nm + 1:r * nm + 2] if adaptive else p2
-            d1_sh = jnp.concatenate([d1[:1], d1[:-1]], axis=0)
             l1 = jnp.where(
                 jnp.logical_or(origin, diag_a_fresh),
-                c, c + _upd(d1_sh, p1, pa, use_roll),
+                c, c + upd(shift_a(d1), pa),
             )
             # diagonal B: predecessor one pixel to the RIGHT; fresh start
             # at the frame's right edge.
             pb = pmt[:, r * nm + 2:r * nm + 3] if adaptive else p2
-            d2_sh = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
             l2 = jnp.where(
                 jnp.logical_or(origin, diag_b_fresh),
-                c, c + _upd(d2_sh, p1, pb, use_roll),
+                c, c + upd(shift_b(d2), pb),
             )
             acc = acc + l1 + l2
             d1, d2 = l1, l2
@@ -416,11 +497,37 @@ def sgm_aggregate_pallas(
         p2h_f, p2h_r, p2v_dn, p2v_up = _adaptive_maps(
             image, cfg, h, w, hp, wp, ct
         )
+    # Lane packing for small disparity ranges (the pyramid model's
+    # residual volumes, SURVEY.md §7): a [.., D] slab with D < 128 leaves
+    # 1 - D/128 of every VPU tile idle, so pack G = 128 // D adjacent x
+    # positions (vertical passes) or scanlines (horizontal passes) into
+    # the lane axis and run the segmented recurrence (_seg_upd) — the
+    # instruction count drops ~G-fold while staying bit-identical
+    # (measured 2.1x on the vertical family at 375x1242x16). The
+    # horizontal family only packs when the whole padded frame still
+    # gives >= 32-sublane slabs (rows are its parallel axis; skinnier
+    # packed slabs went LATENCY-bound and lost to the unpacked layout),
+    # and then uses ONE whole-frame row block.
+    seg = None
+    G = 1
+    if (_PACK_SMALL_D and not adaptive
+            and d < 128 and 128 % d == 0 and d & (d - 1) == 0
+            and wp % (8 * (128 // d)) == 0):
+        seg = d
+        G = 128 // d
+    seg_h = seg if (seg and hp % (8 * G) == 0 and hp // G >= 32) else None
+    br_h = hp if seg_h else br
+    dk = d * G
+    brk = (hp // G) if seg_h else br
+    hpk = (hp // G) if seg_h else hp
+    wpk = wp // G
+    grid_h = (hp // br_h, wp // xc)
+    dk_h = dk if seg_h else d
     # The unrolled no-transpose output assembles [BR, XC, D] blocks by
     # middle-dim concatenation, which Mosaic only lowers when D fills the
     # 128-lane register; smaller D emits in the scan (W, H, D) layout via
     # leading-dim stores and transposes once in XLA between pass families.
-    hwd = d >= 128
+    hwd = dk_h >= 128
 
     def h_call(reverse, acc, cost_whd):
         accumulate = acc is not None
@@ -439,8 +546,8 @@ def sgm_aggregate_pallas(
             if reverse
             else (lambda i, j: (i, j, 0))
         ) if hwd else im_in
-        out_block = (br, xc, d) if hwd else (xc, br, d)
-        out_extent = (hp, wp, d) if hwd else (wp, hp, d)
+        out_block = (brk, xc, dk_h) if hwd else (xc, brk, dk_h)
+        out_extent = (hpk, wp, dk_h) if hwd else (wp, hpk, dk_h)
         im_2d = (
             (lambda i, j: (grid_h[1] - 1 - j, i))
             if reverse
@@ -448,7 +555,7 @@ def sgm_aggregate_pallas(
         )
         in_specs = [
             _SMEM_SPEC,
-            pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((xc, brk, dk_h), im_in, memory_space=pltpu.VMEM),
         ]
         args = [bounds, cost_whd]
         if adaptive:
@@ -464,7 +571,7 @@ def sgm_aggregate_pallas(
         body = functools.partial(
             _h_kernel, p1=p1, p2=p2, xc=xc,
             reverse=reverse, accumulate=accumulate, adaptive=adaptive,
-            ct=ct, use_roll=use_roll, out_hwd=hwd,
+            ct=ct, use_roll=use_roll, out_hwd=hwd, seg=seg_h,
         )
         alias = {len(args) - 1: 0} if accumulate else {}
         return pl.pallas_call(
@@ -474,40 +581,41 @@ def sgm_aggregate_pallas(
             out_specs=pl.BlockSpec(out_block, im_out,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(out_extent, dt),
-            scratch_shapes=[pltpu.VMEM((br, d), ct)],
+            scratch_shapes=[pltpu.VMEM((brk, dk_h), ct)],
             input_output_aliases=alias,
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(*args)
 
     def v_call(up, acc):
-        bh = _v_block_rows(hp, wp, d, dt.itemsize)
+        bh = _v_block_rows(hp, wpk, dk, dt.itemsize)
         nb = hp // bh
         im = (lambda i: (nb - 1 - i, 0, 0)) if up else (lambda i: (i, 0, 0))
-        carry = lambda: pltpu.VMEM((wp, d), ct)
+        carry = lambda: pltpu.VMEM((wpk, dk), ct)
         in_specs = [
             _SMEM_SPEC,
-            pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, wpk, dk), im, memory_space=pltpu.VMEM),
         ]
-        args = [bounds, cost]
+        args = [bounds, cost_v]
         if adaptive:
             nm = 3 if diag else 1
             in_specs.append(
                 pl.BlockSpec((bh, nm, wp), im, memory_space=pltpu.VMEM)
             )
             args.append(p2v_up if up else p2v_dn)
-        in_specs.append(pl.BlockSpec((bh, wp, d), im,
+        in_specs.append(pl.BlockSpec((bh, wpk, dk), im,
                                      memory_space=pltpu.VMEM))
         args.append(acc)
         return pl.pallas_call(
             functools.partial(
                 _v_kernel, p1=p1, p2=p2, diag=diag, bh=bh, up=up,
-                adaptive=adaptive, ct=ct, use_roll=use_roll,
+                adaptive=adaptive, ct=ct, use_roll=use_roll, seg=seg,
             ),
             grid=(nb,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((bh, wp, d), im, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((hp, wp, d), dt),
+            out_specs=pl.BlockSpec((bh, wpk, dk), im,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((hp, wpk, dk), dt),
             scratch_shapes=[carry(), carry(), carry()],
             input_output_aliases={len(args) - 1: 0},
             compiler_params=_VMEM_PARAMS,
@@ -518,15 +626,28 @@ def sgm_aggregate_pallas(
     # meaningful SGM sums for the default "hv".
     if "h" in _passes:
         cost_whd = jnp.transpose(cost, (1, 0, 2))
+        if seg_h:
+            cost_whd = cost_whd.reshape(wp, hpk, dk)   # pack G rows/lane
         s = h_call(False, None, cost_whd)
         s = h_call(True, s, cost_whd)
         if not hwd:
             s = jnp.transpose(s, (1, 0, 2))
+        if seg_h:
+            # unpack the row-packed accumulator back to (H, W, D)
+            s = (
+                s.reshape(hpk, wp, G, d)
+                .transpose(0, 2, 1, 3)
+                .reshape(hp, wp, d)
+            )
     else:
         s = cost.astype(dt)  # v-only profiling: alias dtype must match out
     if "v" in _passes:
+        cost_v = cost.reshape(hp, wpk, dk) if seg else cost  # pack G x/lane
+        s = s.reshape(hp, wpk, dk) if seg else s
         s = v_call(False, s)
         s = v_call(True, s)
+        if seg:
+            s = s.reshape(hp, wp, d)
     return s[:h, :w]
 
 

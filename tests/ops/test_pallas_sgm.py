@@ -50,6 +50,51 @@ def test_pallas_sgm_zero_penalties():
 
 
 @pytest.mark.parametrize("paths", [4, 8])
+def test_pallas_sgm_lane_packed_small_d(paths):
+    """Lane-packed small-D path (G = 128/D adjacent scanlines / x share the
+    lane axis, segmented recurrence): bit-exact vs golden, including the
+    diagonal cross-x shifts at group and sublane boundaries."""
+    from stereo_tpu.ops.pallas import sgm_kernel as sk
+
+    rng = np.random.default_rng(paths)
+    h, w, d = 130, 150, 16  # pads to (256, 256); exercises crop + packing
+    br, _, _, wp = sk.plan_dims(h, w, d)
+    assert br % (8 * (128 // d)) == 0 and wp % (8 * (128 // d)) == 0, \
+        "shape must take the packed path"
+    cost = rng.integers(0, 60, size=(h, w, d)).astype(np.int32)
+    cfg = StereoConfig(num_disparities=d, num_paths=paths, p1=7, p2=100)
+    got = np.array(
+        sgm_aggregate_pallas(
+            cost.astype(np.int16), cfg, interpret=True, acc_dtype=np.int16
+        )
+    ).astype(np.int32)
+    want = np.array(sgm_aggregate(cost, cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_sgm_lane_packed_rect_bounds():
+    """Packed path with frame bounds: the packed x iota must reproduce the
+    golden rectangular-mask fresh starts."""
+    import jax.numpy as jnp
+
+    from stereo_tpu.ops.pallas.sgm_kernel import frame_bounds
+
+    rng = np.random.default_rng(5)
+    h, w, d = 128, 128, 16
+    cost = rng.integers(0, 60, size=(h, w, d)).astype(np.int32)
+    cfg = StereoConfig(num_disparities=d, num_paths=8, p1=7, p2=100)
+    y0, x0, ih, iw = -5, -7, 100, 110
+    b = frame_bounds(h, w, x_offset=x0, y_offset=y0,
+                     image_width=iw, image_height=ih)
+    got = np.array(sgm_aggregate_pallas(cost, cfg, interpret=True, bounds=b))
+    ys = y0 + np.arange(h)[:, None]
+    xs = x0 + np.arange(w)[None, :]
+    rect = (ys >= 0) & (ys < ih) & (xs >= 0) & (xs < iw)
+    want = np.array(sgm_aggregate(cost, cfg, valid=jnp.asarray(rect)))
+    np.testing.assert_array_equal(got[rect], want[rect])
+
+
+@pytest.mark.parametrize("paths", [4, 8])
 def test_pallas_sgm_adaptive_p2_matches_golden(paths):
     """Adaptive P2 (Hirschmueller '08): per-direction effective-P2 maps
     through all four blocked passes, bit-exact vs the golden image-gradient
