@@ -699,22 +699,22 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
     first-winner argmin (ties break to the smaller lane), halving the WTA
     reductions, and the SAME packed matrix feeds the anti-diagonal shift
     pyramid so the right-view min and argmin come out of one reduction.
-    The integer LR compare itself happens OUTSIDE the kernel on compact
-    [H, W] maps (aux_ref packs d_r * 256 + d0): the golden lr_consistency
-    gather on 2-D maps is cheap in XLA — it was the [H, W, D] volume
-    gathers that were catastrophic — and it drops the second, opposite-
-    direction shift pyramid the in-kernel compare needed.
+    The integer LR compare also runs IN-KERNEL: a second shift pyramid
+    restacks the right-winner column as R2[x, l] = d_r[x - l - md], and
+    the lane select at l == d0 reads d_R at the left winner's
+    correspondence — the earlier design exported packed (d_r, d0) maps and
+    compared in XLA via a one-hot select over D shifted copies, whose two
+    [H, W, D] sweeps cost ~3 ms/frame at KITTI scale (the dominant
+    pipeline overhead once aggregation was tuned).
 
     Refs, in order: bounds (SMEM), cost block, [p2 maps block if adaptive
     — [BH, n_maps, W] per-direction effective-P2, see _v_kernel], forward
-    accumulator block, disp/valid/aux outputs, three carry scratches.
+    accumulator block, disp/valid outputs, three carry scratches.
     """
     it = iter(refs)
     b_ref, cost_ref = next(it), next(it)
     p2m_ref = next(it) if adaptive else None
-    acc_ref, disp_ref, valid_ref, aux_ref = (
-        next(it), next(it), next(it), next(it)
-    )
+    acc_ref, disp_ref, valid_ref = next(it), next(it), next(it)
     vc_ref, d1c_ref, d2c_ref = next(it), next(it), next(it)
     pid = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -747,9 +747,12 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
     d2 = d2c_ref[:] if diag else None
     disp_cols = [None] * bh
     valid_cols = [None] * bh
-    aux_cols = [None] * bh
     df = jnp.float32(d)
     lane_f = lane.astype(jnp.float32)
+    if cfg.lr_check:
+        # Hoisted LR invariants: local x column and the global in-frame
+        # test of the correspondence x - d_L - md (cheap [W, 1] math).
+        x_col = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
     for r in range(bh - 1, -1, -1):
         c = cost_ref[r].astype(ct)
         grow = block * bh + r
@@ -816,16 +819,27 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
             # first-min ties. Samples beyond the GLOBAL frame are masked
             # huge (x0: block's global x origin); rows with every lane
             # masked take winner 0, matching the golden argmin-over-big.
-            # The |d_L - d_R| compare runs OUTSIDE the kernel on [H, W]
-            # maps (see wrapper) — no second, opposite-direction pyramid.
             q_r = _epilogue_shift(q, 0, w, interpret, sign=-1)
             q_r = jnp.where(oof_right, BIG, q_r)
             m_r = jnp.min(q_r, axis=1, keepdims=True)              # [W,1]
             d_r = m_r - jnp.floor(m_r * inv_pd) * pdf
             d_r = jnp.where(m_r < BIG, d_r, 0.0)
-            aux_cols[r] = (d_r * pdf + d0).astype(jnp.int32)
-        else:
-            aux_cols[r] = d0.astype(jnp.int32)
+            # d_R at the left winner's correspondence x - d0 - md, via a
+            # second pyramid R2[x, l] = d_r[x - l - md] and the lane
+            # select at l == d0. Wrapped (mod W) samples only occur where
+            # the correspondence is globally out of frame, which in_frame
+            # masks — matching the golden lr_consistency clamp semantics
+            # everywhere the value survives.
+            r2 = _epilogue_shift(
+                jnp.broadcast_to(d_r, (w, d)), md, w, interpret, sign=1
+            )
+            d_r_at = jnp.min(
+                jnp.where(lane_f == d0, r2, BIG), axis=1, keepdims=True
+            )
+            xr_g = x0 + x_col - d0.astype(jnp.int32) - md
+            in_frame = (xr_g >= 0) & (xr_g < image_width)
+            ok_lr = (jnp.abs(d0 - d_r_at) <= jnp.float32(cfg.lr_tau))
+            ok = ok * (ok_lr & in_frame).astype(jnp.int32)
 
         disp_cols[r] = disp_row
         valid_cols[r] = ok
@@ -837,7 +851,6 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
     # (output blocks must keep >=8x128-tileable trailing dims).
     disp_ref[:] = jnp.concatenate(disp_cols, axis=1).T
     valid_ref[:] = jnp.concatenate(valid_cols, axis=1).T
-    aux_ref[:] = jnp.concatenate(aux_cols, axis=1).T
 
 
 def sgm_wta_fused_pallas(
@@ -1045,11 +1058,9 @@ def sgm_wta_fused_pallas(
             out_specs=[
                 pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-                jax.ShapeDtypeStruct((hp, wp), jnp.int32),
                 jax.ShapeDtypeStruct((hp, wp), jnp.int32),
             ],
             scratch_shapes=[carry(), carry(), carry()],
@@ -1068,22 +1079,8 @@ def sgm_wta_fused_pallas(
     if not hwd:
         s_acc = jnp.transpose(s_acc, (1, 0, 2))
     s_acc = v_down(s_acc)
-    disp_o, valid_o, aux_o = v_up_fused(s_acc)
-    disp = disp_o[:h, :w]
-    valid = valid_o[:h, :w].astype(bool)
-    if cfg.lr_check:
-        # Integer LR compare on compact [H, W] maps — the kernel packed
-        # (right winner, left winner) as d_r * PD + d0. 2-D row gathers
-        # are cheap in XLA (it is [H, W, D] volume gathers that are
-        # catastrophic on TPU); this matches the golden lr_consistency /
-        # right_disparity_from_volume pair bit-exactly.
-        from ..postprocess import lr_consistency
-
-        pd = 1 << max(0, (d - 1).bit_length())
-        aux = aux_o[:h, :w]
-        d_r = (aux // pd).astype(jnp.float32) + cfg.min_disparity
-        d0i = (aux % pd).astype(jnp.float32) + cfg.min_disparity
-        valid = valid & lr_consistency(
-            d0i, d_r, cfg, x_offset=bounds[4], image_width=image_width
-        )
-    return disp, valid
+    disp_o, valid_o = v_up_fused(s_acc)
+    # The LR-consistency gate runs inside the fused kernel (see
+    # _v_fused_kernel): exporting packed winner maps and comparing in XLA
+    # cost ~3 ms/frame of [H, W, D]-sweep traffic at KITTI scale.
+    return disp_o[:h, :w], valid_o[:h, :w].astype(bool)
