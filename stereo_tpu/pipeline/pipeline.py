@@ -282,7 +282,12 @@ def compute_disparity(
                 x_offset, image_width, disp_int=d_int,
             )
         if cfg.median_filter:
-            disp = median_3x3(disp)
+            # Pallas 3x3 median: the golden shifted-window fusion lowers
+            # poorly in XLA (~1.15 ms/frame at KITTI scale, ~12% of the
+            # pipeline); the kernel is bit-exact (tests/ops).
+            from ..ops.pallas.filter_kernel import median_3x3_pallas
+
+            disp = median_3x3_pallas(disp, interpret=interpret)
         return StereoResult(disp=disp, valid=ok)
 
     if rect and valid is None:

@@ -48,3 +48,17 @@ def test_right_disparity_from_volume_constant_scene():
     cfg = StereoConfig()
     disp_r = np.array(right_disparity_from_volume(s, cfg))
     np.testing.assert_array_equal(disp_r[:, : w - d0], float(d0))
+
+
+def test_median_pallas_matches_golden():
+    """Pallas 3x3 median vs the golden exchange network, incl. edges and
+    non-tile-aligned extents."""
+    from stereo_tpu.ops.pallas.filter_kernel import median_3x3_pallas
+    from stereo_tpu.ops.postprocess import median_3x3
+
+    rng = np.random.default_rng(0)
+    for shape in [(37, 150), (64, 128), (8, 128)]:
+        disp = rng.normal(size=shape).astype(np.float32)
+        got = np.array(median_3x3_pallas(disp, interpret=True))
+        want = np.array(median_3x3(disp))
+        np.testing.assert_array_equal(got, want)
