@@ -180,6 +180,43 @@ def cmd_run(args) -> int:
         m = evaluate_disparity(disp, pair.gt_disp, pair.gt_valid, valid)
         print(json.dumps({"pair": pair.name, **{k: round(v, 5) for k, v in m.items()}}))
 
+    rig = None
+    if args.rig:
+        from .utils.depth import CameraRig
+
+        parts = [float(v) for v in args.rig.split(",")]
+        if len(parts) < 2:
+            raise SystemExit("--rig expects fx,baseline[,doffs]")
+        rig = CameraRig(parts[0], parts[1],
+                        parts[2] if len(parts) > 2 else 0.0)
+    elif args.calib:
+        from .utils.depth import parse_middlebury_calib
+
+        rig = parse_middlebury_calib(args.calib)
+    elif args.scene and (args.depth_out or args.ply):
+        calib = os.path.join(args.scene, "calib.txt")
+        if os.path.exists(calib):
+            from .utils.depth import parse_middlebury_calib
+
+            rig = parse_middlebury_calib(calib)
+    if (args.depth_out or args.ply) and rig is None:
+        raise SystemExit(
+            "--depth-out/--ply need rig intrinsics: --rig fx,baseline[,doffs]"
+            " or --calib calib.txt (auto-discovered beside --scene)"
+        )
+    if args.depth_out:
+        from .utils.depth import disparity_to_depth
+
+        depth = np.asarray(disparity_to_depth(disp, valid, rig))
+        np.save(args.depth_out, depth)
+        print(f"wrote {args.depth_out}", file=sys.stderr)
+    if args.ply:
+        from .utils.depth import reproject, write_ply
+
+        pts = reproject(disp, valid, rig)
+        n = write_ply(args.ply, pts, valid, colors=pair.left)
+        print(f"wrote {args.ply} ({n} points)", file=sys.stderr)
+
     if args.out:
         from .utils.viz import colorize_disparity, save_png
 
@@ -355,6 +392,13 @@ def main(argv=None) -> int:
     p.add_argument("--dplane-cost", action="store_true",
                    help="with --exact-mesh: build the cost volume "
                         "disparity-plane-sharded (P3) before the reshard")
+    p.add_argument("--rig", metavar="FX,BASELINE[,DOFFS]",
+                   help="rig intrinsics for depth/point-cloud export")
+    p.add_argument("--calib", help="Middlebury calib.txt path")
+    p.add_argument("--depth-out", metavar="NPY",
+                   help="save metric depth (Z = f*B/(d+doffs)) as .npy")
+    p.add_argument("--ply", metavar="PLY",
+                   help="export the valid pixels as a 3-D point cloud")
     p.add_argument("--profile", help="dump a jax.profiler trace directory")
     p.add_argument("--dump-volume", metavar="NPY",
                    help="save the aggregated cost volume (debug, golden path)")

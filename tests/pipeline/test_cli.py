@@ -55,3 +55,20 @@ def test_cli_run_pyramid_model(capsys):
         "--model", "pyramid",
     ])
     assert rc == 0
+
+
+def test_cli_run_depth_and_ply(tmp_path, capsys):
+    depth = tmp_path / "z.npy"
+    ply = tmp_path / "cloud.ply"
+    rc = main([
+        "run", "--demo", "--demo-shape", "48", "80", "--demo-max-disp", "8",
+        "--preset", "kitti_sgm8_128", *SMALL,
+        "--rig", "500,0.2",
+        "--depth-out", str(depth), "--ply", str(ply),
+    ])
+    assert rc == 0
+    z = np.load(depth)
+    assert z.shape == (48, 80)
+    assert (z[z > 0] > 0).all()
+    header = ply.read_text().splitlines()[:8]
+    assert header[0] == "ply"
