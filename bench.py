@@ -69,7 +69,11 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true",
                     help="small shapes on CPU (smoke test)")
     ap.add_argument("--preset", default="kitti_sgm8_128")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=40,
+                    help="chained in-jit iterations per repeat; the "
+                         "remote-tunnel dispatch+fetch overhead (~25 ms) "
+                         "is amortized by 1/iters, so 10 iters inflated "
+                         "per-frame time by ~1.6 ms at KITTI scale")
     ap.add_argument("--all", action="store_true",
                     help="also bench secondary configs/models to results.jsonl")
     args = ap.parse_args()
@@ -190,7 +194,7 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         cfg4, shape4, n_bands=2 if quick else 4, n_cols=1 if quick else 3
     )
     sec4 = chained_seconds_per_call(
-        lambda l, r: fn4(l, r), (pair4.left, pair4.right), iters=5
+        lambda l, r: fn4(l, r), (pair4.left, pair4.right), iters=15
     )
     res4 = fn4(pair4.left, pair4.right)
     q4 = evaluate_disparity(
@@ -235,7 +239,7 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         model = get_model(model_name, cfg=cfg)
         fn = model.build()
         sec = chained_seconds_per_call(
-            lambda l, r: fn(l, r), (pair.left, pair.right), iters=10
+            lambda l, r: fn(l, r), (pair.left, pair.right), iters=30
         )
         res = fn(pair.left, pair.right)
         q = evaluate_disparity(
