@@ -221,6 +221,52 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         f.write(json.dumps(rec4) + "\n")
     print(json.dumps(rec4), file=sys.stderr)
 
+    # Single-chip batched-stream throughput (P1 on one device): frames
+    # vmapped over a leading batch axis. The runner's wall-clock brackets
+    # block_until_ready, which the remote tunnel acknowledges early, so
+    # on_result fetches a corner element per batch — the fetch cannot
+    # return before the device work is done.
+    from jax.sharding import Mesh
+
+    from stereo_tpu.parallel import StreamRunner
+
+    shape_s = (96, 160) if quick else (375, 1242)
+    cfg_s = PRESETS["kitti_sgm8_128"]
+    if quick:
+        cfg_s = cfg_s.replace(num_disparities=16)
+    batch, n_frames = (2, 8) if quick else (4, 48)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                ("batch", "ty", "tx"))
+    runner = StreamRunner(cfg_s, mesh, shape_s, batch_size=batch)
+    frames = [
+        (p.left, p.right)
+        for p in (
+            make_pair(shape_s, max_disp=12 if quick else 96, kind="shapes",
+                      texture="cloud", seed=i)
+            for i in range(n_frames)
+        )
+    ]
+    runner.run(frames[:batch], on_result=lambda r: None)  # warm compile
+    runner.frames_done, runner.elapsed = 0, 0.0
+    stats = runner.run(
+        frames, on_result=lambda r: np.asarray(r.disp[:, :1, :1])
+    )
+    rec_s = {
+        "metric": "kitti_stream_batch4_fps_per_chip",
+        "value": round(stats["fps"], 3),
+        "unit": "fps",
+        "shape": list(shape_s),
+        "batch": batch,
+        "frames": stats["frames"],
+        "device": str(jax.devices()[0]),
+        "git_sha": sha,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "note": "single-chip DP throughput (vmapped batch, async overlap)",
+    }
+    with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
+        f.write(json.dumps(rec_s) + "\n")
+    print(json.dumps(rec_s), file=sys.stderr)
+
     runs = [
         ("tsukuba_sad16", "classic", (288, 384), 14, {}, ""),
         ("middlebury_census_sgm4_64", "classic", (555, 900), 48, {}, ""),
