@@ -24,8 +24,14 @@ def _result_scalar(res) -> jnp.ndarray:
     leaves = jax.tree_util.tree_leaves(res)
     acc = jnp.float32(0)
     for leaf in leaves:
-        # Cheap data-dependent scalar: corner element, not a full reduction.
-        acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+        # The scalar must depend on EVERY element of every output. A corner
+        # element is NOT enough: inside the jitted chain XLA sees end-to-end
+        # and dead-code-eliminates whole subcomputations that don't feed the
+        # fetched value — slice-of-concatenate keeps only the first patch of
+        # a banded/patched pipeline (measured 7.7x optimistic on a 6-patch
+        # frame). A full sum is O(output) work — negligible next to the
+        # O(H*W*D) volume compute being timed.
+        acc = acc + jnp.sum(leaf).astype(jnp.float32)
     return acc
 
 
