@@ -44,8 +44,14 @@ def build_stream_pipeline(
     disparity outputs, so donation would only emit warnings.
 
     B must be a multiple of the 'batch' mesh axis. Frames split over
-    'batch'; each frame tiles over ('ty','tx') exactly like the single-pair
-    halo pipeline (same tile_fn, vmapped over the per-device frame axis).
+    'batch'; each device runs its frame chunk SEQUENTIALLY via lax.scan
+    (each frame tiles over ('ty','tx') exactly like the single-pair halo
+    pipeline). scan, not vmap: one frame's volumes are live at a time
+    (vmap multiplied every [H,W,D] intermediate by the local batch) and
+    each scan step keeps the kernels' single-frame shapes — measured 2x
+    faster per frame than the vmapped layout at KITTI scale, while one
+    dispatch covers the whole chunk (the ~25 ms remote-tunnel round trip
+    amortizes over B frames instead of being paid per small batch).
     Outputs stay sharded over 'batch' (each host keeps its frames).
     """
     tile_cfg = tile_cfg or TileConfig(
@@ -69,9 +75,15 @@ def build_stream_pipeline(
         lp = jnp.pad(left, ((0, 0), (0, hp - h), (0, wp - w)))
         rp = jnp.pad(right, ((0, 0), (0, hp - h), (0, wp - w)))
 
-        per_frame = jax.vmap(tile_fn)
+        def per_chunk(l_loc, r_loc):
+            def step(_, lr):
+                return None, tile_fn(lr[0], lr[1])
+
+            _, out = jax.lax.scan(step, None, (l_loc, r_loc))
+            return out
+
         res = shard_map(
-            per_frame,
+            per_chunk,
             mesh=mesh,
             in_specs=(P("batch", "ty", "tx"), P("batch", "ty", "tx")),
             out_specs=StereoResult(
@@ -147,6 +159,10 @@ class StreamRunner:
     ) -> dict:
         """Process (left, right) frame pairs; returns throughput stats.
 
+        ``on_result`` receives DEVICE-resident arrays (sliced to the real
+        frame count); call np.asarray on what you need — the runner never
+        pulls whole batches to the host itself.
+
         Frames before the manifest cursor are skipped (resume). Partial
         trailing batches are padded with the last frame and the padding
         results dropped. ``fail_after`` raises after N frames — the fault
@@ -163,19 +179,33 @@ class StreamRunner:
 
         def drain_one():
             res, n_real = pending.pop(0)
-            jax.block_until_ready(res.disp)
+            # Completion proof: the remote-tunnel backend acknowledges
+            # block_until_ready early (CLAUDE.md), so fetch ONE element —
+            # a real d2h round-trip that cannot return before the batch's
+            # output buffer exists. Results stay ON DEVICE: the old
+            # np.asarray(full batch) here moved ~15 MB/batch over the
+            # tunnel and capped the measured stream rate at ~11 fps while
+            # the device sustained >100; consumers np.asarray what they
+            # actually need.
+            np.asarray(res.disp[-1, -1:, -1:])
             if on_result is not None:
                 on_result(
                     StereoResult(
-                        disp=np.asarray(res.disp)[:n_real],
-                        valid=np.asarray(res.valid)[:n_real],
+                        disp=res.disp[:n_real], valid=res.valid[:n_real]
                     )
                 )
             self.frames_done += n_real
 
         def flush(n_real):
-            l = np.stack(batch_l + [batch_l[-1]] * (self.batch - n_real))
-            r = np.stack(batch_r + [batch_r[-1]] * (self.batch - n_real))
+            pad = [batch_l[-1]] * (self.batch - n_real)
+            # Device-resident frames stack ON DEVICE (np.stack would pull
+            # them back to host): callers may pre-stage frames with
+            # jax.device_put so the stream measures the engine, not the
+            # host link (the remote test tunnel moves ~57 MB/s; a real TPU
+            # host's PCIe makes per-frame upload negligible).
+            stack = jnp.stack if isinstance(batch_l[0], jax.Array) else np.stack
+            l = stack(batch_l + pad)
+            r = stack(batch_r + [batch_r[-1]] * (self.batch - n_real))
             res = self.pipeline(l, r)
             pending.append((res, n_real))
             # Keep at most two batches in flight: the host stays ahead of

@@ -48,6 +48,33 @@ def test_stream_matches_per_frame(mesh_b2):
         np.testing.assert_array_equal(np.array(res.disp[i]), np.array(g.disp))
 
 
+def test_stream_scan_matches_tiled_sgm(mesh_b2):
+    """The in-chunk lax.scan layout must be bit-identical per frame to the
+    single-frame halo pipeline — full SGM + subpixel + LR, so any scan/vmap
+    or buffer-reuse drift in the Pallas path shows up here."""
+    from stereo_tpu.parallel import build_halo_pipeline
+
+    cfg = StereoConfig(
+        cost_fn="census", num_disparities=16, num_paths=8,
+        subpixel=True, lr_check=True,
+    )
+    shape = (64, 96)
+    frames = [
+        make_pair(shape, max_disp=12, kind="shapes", seed=i) for i in range(4)
+    ]
+    runner = StreamRunner(cfg, mesh_b2, shape, batch_size=4)
+    outs = []
+    runner.run([(p.left, p.right) for p in frames],
+               on_result=lambda r: outs.append(r))
+    disp = np.concatenate([np.asarray(o.disp) for o in outs], axis=0)
+    tiled = build_halo_pipeline(
+        cfg, make_tile_mesh(jax.devices()[:4], mesh_shape=(2, 2))
+    )
+    for i in range(4):
+        g = tiled(frames[i].left, frames[i].right)
+        np.testing.assert_array_equal(disp[i], np.asarray(g.disp))
+
+
 def test_runner_processes_all_frames(tmp_path, mesh_b2):
     frames = _frames(7)
     runner = StreamRunner(
