@@ -161,16 +161,56 @@ def _adaptive_maps(image, cfg, h, w, hp, wp, ct):
     return h_fwd_t, h_rev_t, jnp.stack(dn, axis=1), jnp.stack(up, axis=1)
 
 
-def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
-    """cand - m of the SGM recurrence, vectorized over the D lane axis.
+def _upd(n: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
+    """Candidate term of the SGM recurrence on a NORMALIZED carry.
 
-    prev: [..., D] int32/f32. min(prev, prev<<1 + P1, prev>>1 + P1,
-    m + P2) - m with edge-replicated d+-1 shifts (the replica never wins
-    for P1 >= 0, matching the golden lax.scan recurrence).
+    n: [..., D] f32/int32, n = L_prev - min_k L_prev (per-pixel
+    normalized, so min over lanes is 0). Returns
+    t = min(n, n<<1 + P1, n>>1 + P1, P2) with edge-replicated d+-1
+    shifts (the replica never wins for P1 >= 0); the caller forms
+    L = C + t and renormalizes the next carry with _renorm. Algebra:
+    min(L, L<<1+P1, L>>1+P1, m+P2) - m == min(n, n<<1+P1, n>>1+P1, P2)
+    since the d+-1 shifts never cross pixels — carrying n instead of L
+    turns the m+P2 add into a direct min operand (one VPU op per step)
+    and moves the lane reduction to _renorm (same count, after the add
+    of C). Exact: integer-valued f32 throughout.
+    """
+    if use_roll:
+        # Lane rotates + edge fix; candidate alternative to concatenate.
+        d = n.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, n.shape, n.ndim - 1)
+        dn = jnp.where(lane == 0, n, pltpu.roll(n, 1, n.ndim - 1))
+        up = jnp.where(
+            lane == d - 1, n, pltpu.roll(n, d - 1, n.ndim - 1)
+        )
+    else:
+        dn = jnp.concatenate([n[..., :1], n[..., :-1]], axis=-1)
+        up = jnp.concatenate([n[..., 1:], n[..., -1:]], axis=-1)
+    # ONE +p1 after min(dn, up) instead of two before it (exact: integer-
+    # valued f32 adds commute with min) — saves a VPU op per step.
+    return jnp.minimum(jnp.minimum(n, p2), jnp.minimum(dn, up) + p1)
+
+
+def _renorm(l: jnp.ndarray) -> jnp.ndarray:
+    """L -> normalized carry n = L - min_k L (the _upd invariant)."""
+    return l - jnp.min(l, axis=-1, keepdims=True)
+
+
+def _upd_lcarry(prev: jnp.ndarray, p1, p2, use_roll: bool = False):
+    """_upd on an UNNORMALIZED carry (prev = L): min(prev, prev<<1 + P1,
+    prev>>1 + P1, m + P2) - m.
+
+    One VPU op more than _upd + _renorm, but the next step's reduction
+    (min over prev) and its shifts start from the SAME value, so the
+    per-step serial chain is shorter. The horizontal passes use this:
+    their [BR, D] slabs are ~16 tiles and W sequential steps leave them
+    latency-sensitive — measured 3.75 ms (this form) vs 4.06 ms
+    (normalized) for the two h passes at KITTI scale, while the wide
+    [W, D] vertical slabs hide the chain and win with _upd (5.9 -> 4.9 ms
+    across the v families + epilogue).
     """
     m = jnp.min(prev, axis=-1, keepdims=True)
     if use_roll:
-        # Lane rotates + edge fix; candidate alternative to concatenate.
         d = prev.shape[-1]
         lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
         dn = jnp.where(lane == 0, prev, pltpu.roll(prev, 1, prev.ndim - 1))
@@ -180,8 +220,24 @@ def _upd(prev: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
     else:
         dn = jnp.concatenate([prev[..., :1], prev[..., :-1]], axis=-1)
         up = jnp.concatenate([prev[..., 1:], prev[..., -1:]], axis=-1)
-    # ONE +p1 after min(dn, up) instead of two before it (exact: integer-
-    # valued f32 adds commute with min) — saves a VPU op per step.
+    cand = jnp.minimum(
+        jnp.minimum(prev, m + p2), jnp.minimum(dn, up) + p1
+    )
+    return cand - m
+
+
+def _seg_upd_lcarry(prev, p1, p2, r):
+    """_upd_lcarry restricted to lane segments of size r (see _seg_upd)."""
+    g = _seg_lane(prev.shape, r)
+    m = prev
+    s = 1
+    while s < r:
+        main = _rot(m, s)
+        wrap = _rot(m, s - r)
+        m = jnp.minimum(m, jnp.where(g < r - s, main, wrap))
+        s *= 2
+    dn = jnp.where(g == 0, prev, _rot(prev, -1))
+    up = jnp.where(g == r - 1, prev, _rot(prev, 1))
     cand = jnp.minimum(
         jnp.minimum(prev, m + p2), jnp.minimum(dn, up) + p1
     )
@@ -205,18 +261,28 @@ def _seg_lane(shape, r):
     return lane & (r - 1)
 
 
-def _seg_upd(prev, p1, p2, r):
+def _seg_upd(n, p1, p2, r):
     """_upd restricted to independent lane SEGMENTS of size r.
 
     The lane axis packs G = d // r independent problems (adjacent
     scanlines in the horizontal passes, adjacent x in the vertical
     passes), each with an r-wide disparity range: d+-1 shifts replicate
-    at segment edges and min_k reduces within segments via a rotate
-    butterfly (all lanes of a segment end up holding the segment min).
+    at segment edges. ``n`` is the per-segment NORMALIZED carry
+    (_seg_renorm), so the min_k candidate is P2 directly.
     Bit-identical to running _upd per segment.
     """
-    g = _seg_lane(prev.shape, r)
-    m = prev
+    g = _seg_lane(n.shape, r)
+    dn = jnp.where(g == 0, n, _rot(n, -1))
+    up = jnp.where(g == r - 1, n, _rot(n, 1))
+    return jnp.minimum(jnp.minimum(n, p2), jnp.minimum(dn, up) + p1)
+
+
+def _seg_renorm(l, r):
+    """L -> per-SEGMENT normalized carry: subtract each r-lane segment's
+    min, computed by a rotate butterfly (all lanes of a segment end up
+    holding the segment min)."""
+    g = _seg_lane(l.shape, r)
+    m = l
     s = 1
     while s < r:
         # within-segment rotate by +s: wrap lanes take the second rotate
@@ -224,12 +290,7 @@ def _seg_upd(prev, p1, p2, r):
         wrap = _rot(m, s - r)
         m = jnp.minimum(m, jnp.where(g < r - s, main, wrap))
         s *= 2
-    dn = jnp.where(g == 0, prev, _rot(prev, -1))
-    up = jnp.where(g == r - 1, prev, _rot(prev, 1))
-    cand = jnp.minimum(
-        jnp.minimum(prev, m + p2), jnp.minimum(dn, up) + p1
-    )
-    return cand - m
+    return l - m
 
 
 def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
@@ -287,10 +348,12 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
             return p2
         return jnp.transpose(p2_ref[pl.ds(x, 1), :])   # [BR, 1]
 
+    # L-carry form: the horizontal scan is latency-bound (see _upd_lcarry).
     if seg:
-        upd = lambda prev, p2x: _seg_upd(prev, p1, p2x, seg)
+        upd = lambda prev, p2x: _seg_upd_lcarry(prev, p1, p2x, seg)
     else:
-        upd = lambda prev, p2x: _upd(prev, p1, p2x, use_roll)
+        upd = lambda prev, p2x: _upd_lcarry(prev, p1, p2x, use_roll)
+    renorm = lambda l: l
 
     if out_hwd:
         if adaptive:
@@ -307,7 +370,7 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
             origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
             l = jnp.where(origin, c, c + upd(carry, p2_at(x)))
             slabs[x] = l.astype(dt)[:, None, :]        # [BR, 1, D]
-            carry = l
+            carry = renorm(l)
         carry_ref[:] = carry.astype(carry_ref.dtype)
         block = jnp.concatenate(slabs, axis=1)         # [BR, XC, D]
         if accumulate:
@@ -326,7 +389,7 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
             out_ref[x] = acc_ref[x] + l.astype(dt)
         else:
             out_ref[x] = l.astype(dt)
-        return l
+        return renorm(l)
 
     final = jax.lax.fori_loop(0, xc, body, carry_ref[:].astype(ct))
     carry_ref[:] = final.astype(carry_ref.dtype)
@@ -376,6 +439,7 @@ def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
         lane = jax.lax.broadcasted_iota(jnp.int32, (w, d), 1)
         x_iota = sub * g_lanes + lane // seg
         upd = lambda prev, p2x: _seg_upd(prev, p1, p2x, seg)
+        renorm = lambda l: _seg_renorm(l, seg)
 
         def shift_a(m):
             # predecessor x-1: lane rotate by -seg; the first group of
@@ -393,6 +457,7 @@ def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
     else:
         x_iota = jax.lax.broadcasted_iota(jnp.int32, (w, d), 0)
         upd = lambda prev, p2x: _upd(prev, p1, p2x, use_roll)
+        renorm = _renorm
         shift_a = lambda m: jnp.concatenate([m[:1], m[:-1]], axis=0)
         shift_b = lambda m: jnp.concatenate([m[1:], m[-1:]], axis=0)
 
@@ -433,9 +498,9 @@ def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
                 c, c + upd(shift_b(d2), pb),
             )
             acc = acc + l1 + l2
-            d1, d2 = l1, l2
+            d1, d2 = renorm(l1), renorm(l2)
         out_ref[r] = acc_ref[r] + acc.astype(dt)
-        v = lv
+        v = renorm(lv)
     vc_ref[:] = v
     if diag:
         d1c_ref[:] = d1
@@ -778,8 +843,8 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
                 c, c + _upd(d2_sh, p1, pb, use_roll),
             )
             acc = acc + l1 + l2
-            d1, d2 = l1, l2
-        v = lv
+            d1, d2 = _renorm(l1), _renorm(l2)
+        v = _renorm(lv)
 
         s_row = acc_ref[r].astype(jnp.float32) + acc.astype(jnp.float32)
 
