@@ -226,8 +226,8 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         f.write(json.dumps(rec4) + "\n")
     print(json.dumps(rec4), file=sys.stderr)
 
-    # Single-chip batched-stream throughput (P1 on one device): frames
-    # vmapped over a leading batch axis. The runner's wall-clock brackets
+    # Single-chip batched-stream throughput (P1 on one device): each chunk
+    # of frames runs through an in-jit lax.scan. The runner's wall-clock brackets
     # block_until_ready, which the remote tunnel acknowledges early, so
     # on_result fetches a corner element per batch — the fetch cannot
     # return before the device work is done.
@@ -265,7 +265,7 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
     runner.frames_done, runner.elapsed = 0, 0.0
     stats = runner.run_batches(batches)
     rec_s = {
-        "metric": "kitti_stream_batch4_fps_per_chip",
+        "metric": f"kitti_stream_batch{batch}_fps_per_chip",
         "value": round(stats["fps"], 3),
         "unit": "fps",
         "shape": list(shape_s),
@@ -274,7 +274,7 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         "device": str(jax.devices()[0]),
         "git_sha": sha,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        "note": "single-chip DP throughput (vmapped batch, async overlap)",
+        "note": "single-chip DP throughput (scan chunks, async overlap)",
     }
     with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
         f.write(json.dumps(rec_s) + "\n")
@@ -320,6 +320,46 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         }
         with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), file=sys.stderr)
+
+    # Hard synthetic suite (eval/hard_suite.py): the quality numbers that
+    # back the README table — adversarial scenarios, not the easy clean
+    # pairs (VERDICT r2 #1). One compile covers all scenarios (same shape).
+    from stereo_tpu.eval.hard_suite import (
+        census_vs_sad_robustness, run_hard_suite,
+    )
+
+    cfg_h = PRESETS["kitti_sgm8_128"]
+    shape_h, seeds_h = ((96, 160), (0,)) if quick else ((160, 288), (0, 1, 2))
+    if quick:
+        cfg_h = cfg_h.replace(num_disparities=16)
+    rows = run_hard_suite(cfg_h, shape=shape_h, seeds=seeds_h)
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+    dev = str(jax.devices()[0])
+    with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
+        for r in rows:
+            rec = {
+                "metric": f"hard_suite_{r['scenario']}_bad3",
+                "value": r["bad3_noc"], "unit": "fraction",
+                **r, "shape": list(shape_h),
+                "num_disparities": cfg_h.num_disparities,
+                "device": dev, "git_sha": sha, "timestamp": stamp,
+            }
+            f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), file=sys.stderr)
+        cmp_rows = census_vs_sad_robustness(
+            cfg_h, shape=shape_h, seeds=seeds_h[:1]
+        )
+        rec = {
+            "metric": "census_vs_sad_radiometric_bad3",
+            "value": cmp_rows["census"]["bad3_noc"], "unit": "fraction",
+            "census": cmp_rows["census"], "sad": cmp_rows["sad"],
+            "shape": list(shape_h), "device": dev, "git_sha": sha,
+            "timestamp": stamp,
+            "note": "census invariance vs SAD collapse under per-view "
+                    "gain/bias/gamma (SURVEY.md C2)",
+        }
+        f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), file=sys.stderr)
 
 

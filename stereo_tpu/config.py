@@ -57,6 +57,9 @@ class StereoConfig:
     median_filter: bool = True         # 3x3 median on the disparity map
     speckle_max_size: int = 0          # 0 disables speckle removal
     speckle_tau: float = 2.0
+    fill_occlusions: bool = False      # fill invalid pixels from row
+    #                                    neighbors (Hirschmueller LR fill,
+    #                                    native/; applied host-side)
 
     # --- numerics ----------------------------------------------------------
     cost_dtype: str = "int32"          # golden-path cost dtype

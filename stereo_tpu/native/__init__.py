@@ -189,6 +189,48 @@ def _filter_speckles_py(disp, valid_u8, tau, max_size, fill_invalid):
     return disp, valid, removed
 
 
+def fill_invalid_lr(
+    disp: np.ndarray, valid: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fill invalid pixels from the nearest valid row neighbors.
+
+    Hirschmueller occlusion fill (SURVEY.md C11): each invalid pixel takes
+    the SMALLER of the nearest valid disparities to its left and right on
+    the same row (occlusions belong to the background). Wired into the
+    product surface via ``StereoConfig.fill_occlusions`` →
+    ``pipeline.host_postprocess``.
+
+    Returns ``(disp_filled, filled_mask)``; inputs are not modified. A
+    pixel is fillable iff its row has at least one valid pixel.
+    """
+    disp = np.ascontiguousarray(disp, dtype=np.float32).copy()
+    valid = np.ascontiguousarray(valid, dtype=bool)
+    h, w = disp.shape
+    lib = load()
+    if lib is not None:
+        valid_u8 = valid.astype(np.uint8)
+        lib.stpu_fill_invalid_lr(_f32p(disp), _u8p(valid_u8), h, w)
+    else:
+        # Vectorized numpy fallback: per-row forward/backward fill, then
+        # take the smaller of the two candidates (same as the C++ path).
+        cols = np.arange(w)[None, :]
+        rows = np.arange(h)[:, None]
+        li = np.maximum.accumulate(np.where(valid, cols, -1), axis=1)
+        lval = np.where(li >= 0, disp[rows, np.clip(li, 0, w - 1)], np.inf)
+        ri_rev = np.maximum.accumulate(
+            np.where(valid[:, ::-1], cols, -1), axis=1
+        )[:, ::-1]
+        ri = w - 1 - ri_rev  # column of nearest valid pixel to the right
+        rval = np.where(
+            ri_rev >= 0, disp[rows, np.clip(ri, 0, w - 1)], np.inf
+        )
+        cand = np.minimum(lval, rval)
+        fill = (~valid) & np.isfinite(cand)
+        disp = np.where(fill, cand, disp)
+    filled = (~valid) & valid.any(axis=1, keepdims=True)
+    return disp, filled
+
+
 def read_pnm_gray(path: str) -> Optional[np.ndarray]:
     """Native P5/P6 grayscale read; None if unsupported (caller falls back)."""
     lib = load()

@@ -150,10 +150,25 @@ class StreamRunner:
             )
         os.replace(tmp, self.manifest_path)
 
+    @staticmethod
+    def _completion_proof(arr) -> None:
+        """Tiny d2h fetch from EVERY addressable shard of ``arr``.
+
+        The remote-tunnel backend acknowledges block_until_ready early
+        (CLAUDE.md), and fetching one element of arr[-1] only synchronizes
+        the device holding the last batch shard — with the 'batch' mesh
+        axis spanning devices, other devices could still be computing when
+        elapsed is recorded (advisor r2). One corner element per shard is
+        a real round trip to each device that cannot return early.
+        """
+        for s in arr.addressable_shards:
+            np.asarray(s.data[(-1,) * s.data.ndim])
+
     def run_batches(
         self,
         batches: Iterable[Tuple[jnp.ndarray, jnp.ndarray]],
         on_result=None,
+        checkpoint_every: int = 64,
     ) -> dict:
         """Process pre-stacked ``(left [B,H,W], right [B,H,W])`` batches.
 
@@ -161,27 +176,48 @@ class StreamRunner:
         stacked chunks (e.g. a decoder writing straight into a device ring):
         skips run()'s per-frame accumulation and on-device stacking — at
         KITTI scale the per-chunk stack enqueues cost ~1 ms/frame over the
-        remote test link. Resume bookkeeping matches run() (frames_done
-        advances per batch).
+        remote test link. Resume bookkeeping matches run(): batches fully
+        covered by the manifest cursor are skipped, progress checkpoints
+        every ``checkpoint_every`` frames, and a cursor that does not fall
+        on a batch boundary is rejected (stacked batches cannot be split).
         """
         pending = []
 
         def drain_one():
             res, n_real = pending.pop(0)
-            np.asarray(res.disp[-1, -1:, -1:])  # completion proof, see run()
+            self._completion_proof(res.disp)
             if on_result is not None:
                 on_result(res)
             self.frames_done += n_real
 
+        to_skip = self.frames_done
+        n_this_run = 0
         t0 = time.perf_counter()
         for left, right in batches:
             if left.shape[0] != self.batch:
                 raise ValueError(
                     f"batch extent {left.shape[0]} != runner batch {self.batch}"
                 )
+            if to_skip >= left.shape[0]:
+                to_skip -= left.shape[0]
+                continue
+            if to_skip:
+                raise ValueError(
+                    f"manifest cursor {self.frames_done} does not align to "
+                    f"the {self.batch}-frame batch boundary; resume "
+                    "run_batches() with the same batch size it was "
+                    "checkpointed with"
+                )
             pending.append((self.pipeline(left, right), left.shape[0]))
+            n_this_run += left.shape[0]
             while len(pending) > 2:
                 drain_one()
+            if checkpoint_every and n_this_run % checkpoint_every == 0:
+                while pending:
+                    drain_one()
+                self.elapsed += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                self._checkpoint()
         while pending:
             drain_one()
         self.elapsed += time.perf_counter() - t0
@@ -222,15 +258,14 @@ class StreamRunner:
 
         def drain_one():
             res, n_real = pending.pop(0)
-            # Completion proof: the remote-tunnel backend acknowledges
-            # block_until_ready early (CLAUDE.md), so fetch ONE element —
-            # a real d2h round-trip that cannot return before the batch's
-            # output buffer exists. Results stay ON DEVICE: the old
-            # np.asarray(full batch) here moved ~15 MB/batch over the
-            # tunnel and capped the measured stream rate at ~11 fps while
-            # the device sustained >100; consumers np.asarray what they
-            # actually need.
-            np.asarray(res.disp[-1, -1:, -1:])
+            # Completion proof: one corner element from every addressable
+            # shard (_completion_proof) — a real d2h round trip per device
+            # that cannot return before the batch's output exists. Results
+            # stay ON DEVICE: the old np.asarray(full batch) here moved
+            # ~15 MB/batch over the tunnel and capped the measured stream
+            # rate at ~11 fps while the device sustained >100; consumers
+            # np.asarray what they actually need.
+            self._completion_proof(res.disp)
             if on_result is not None:
                 on_result(
                     StereoResult(

@@ -185,6 +185,71 @@ def _aggregate(
     return sgm_aggregate(vol, cfg, image=left, valid=valid, constrain=constrain)
 
 
+def _fused_view(
+    ref, tgt, cfg: StereoConfig, interpret: bool, emit_d0: bool
+):
+    """One reference-view pass through the fused Pallas pipeline.
+
+    ``ref`` is the reference image (left, or the flipped right for the
+    exact-LR second pass), ``tgt`` the match image. Returns the fused
+    kernel's raw outputs (disp, valid-or-packed).
+    """
+    from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
+
+    th, tw = ref.shape
+    kern = _cost_kernel_for(cfg, th, tw)
+    if kern is not None:
+        kw = (
+            {"out_dtype": _vol_dtype(cfg, th, tw)}
+            if cfg.cost_fn in ("census", "rank")
+            else {}
+        )
+        vol, vol_whd = kern(ref, tgt, cfg, x_offset=0, interpret=interpret, **kw)
+        return sgm_wta_fused_pallas(
+            vol, cfg, cost_whd=vol_whd, true_shape=(th, tw),
+            interpret=interpret, acc_dtype=jnp.int16, image=ref,
+            emit_d0=emit_d0,
+        )
+    vol = cost_volume(ref, tgt, cfg, x_offset=0)
+    return sgm_wta_fused_pallas(
+        vol.astype(_vol_dtype(cfg, th, tw)), cfg, interpret=interpret,
+        acc_dtype=jnp.int16, image=ref, emit_d0=emit_d0,
+    )
+
+
+def _lr_exact_fused(left, right, cfg: StereoConfig, interpret: bool):
+    """Exact left-right check with BOTH views on the fused kernels.
+
+    Mirrors the staged golden path (compute_disparity's lr_exact branch)
+    step for step: left-view WTA + subpixel + uniqueness, right-view
+    INTEGER winners from the flipped pair, integer consistency compare,
+    then median — each stage the Pallas twin of its golden counterpart,
+    so the composition stays bit-identical.
+    """
+    cfg_l = cfg.replace(lr_check=False, median_filter=False)
+    disp, packed = _fused_view(left, right, cfg_l, interpret, emit_d0=True)
+    ok = (packed & 1).astype(bool)
+    d_int_l = (packed >> 1).astype(jnp.float32) + jnp.float32(
+        cfg.min_disparity
+    )
+    # Right view: flipped pair, integer winners only (subpixel/uniqueness
+    # affect only outputs the compare never reads).
+    cfg_r = cfg.replace(
+        lr_check=False, median_filter=False, subpixel=False,
+        uniqueness_ratio=0.0,
+    )
+    disp_rf, _ = _fused_view(
+        right[:, ::-1], left[:, ::-1], cfg_r, interpret, emit_d0=False
+    )
+    disp_r = disp_rf[:, ::-1]
+    ok = ok & lr_consistency(d_int_l, disp_r, cfg)
+    if cfg.median_filter:
+        from ..ops.pallas.filter_kernel import median_3x3_pallas
+
+        disp = median_3x3_pallas(disp, interpret=interpret)
+    return StereoResult(disp=disp, valid=ok)
+
+
 def compute_disparity(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -224,6 +289,27 @@ def compute_disparity(
 
     rect = image_height is not None
     mode = _pallas_mode(cfg, valid, constrain, rect=rect)
+
+    if (
+        mode is not None
+        and cfg.lr_check
+        and cfg.lr_exact
+        and not rect
+        and isinstance(x_offset, int)
+        and x_offset == 0
+        and (image_width is None or image_width == left.shape[1])
+    ):
+        # Exact-LR on the FUSED fast path (VERDICT r2 #5): both views ride
+        # sgm_wta_fused_pallas (the right view as the flipped pair), the
+        # kernel packs integer winners beside the uniqueness gate
+        # (emit_d0), and the consistency compare runs on [H, W] integer
+        # maps in XLA — bit-identical to the staged golden lr_exact path
+        # (tests/ops/test_pallas_fused.py) while skipping two S
+        # materializations and two XLA WTA sweeps. Full single frames
+        # only; tiles/patches keep the staged path (their halo widths are
+        # derived for the re-index LR).
+        return _lr_exact_fused(left, right, cfg, interpret=mode)
+
     if mode is not None and not cfg.lr_exact:
         # Fully fused fast path: SGM + WTA + subpixel + uniqueness +
         # LR-check inside the final Pallas pass; the summed volume is never
@@ -339,9 +425,11 @@ def host_postprocess(disp, valid, cfg: StereoConfig):
     """Host-side (numpy) post-filters that map poorly onto XLA.
 
     Speckle removal (cfg.speckle_max_size > 0) runs as native C++ union-
-    find with a Python fallback (stereo_tpu.native); invalid-pixel
-    occlusion fill is available behind the same call. Applied by the CLI
-    and eval harness after device compute.
+    find with a Python fallback (stereo_tpu.native); occlusion fill
+    (cfg.fill_occlusions) replaces LR-rejected/invalid pixels with the
+    smaller of the nearest valid row neighbors (SURVEY.md C11) and counts
+    them as estimates. Applied by the CLI and eval harness after device
+    compute.
     """
     import numpy as np
 
@@ -353,4 +441,9 @@ def host_postprocess(disp, valid, cfg: StereoConfig):
         disp, valid, _ = filter_speckles(
             disp, valid, cfg.speckle_tau, cfg.speckle_max_size
         )
+    if cfg.fill_occlusions:
+        from ..native import fill_invalid_lr
+
+        disp, filled = fill_invalid_lr(disp, valid)
+        valid = valid | filled
     return disp, valid

@@ -69,6 +69,36 @@ def test_fill_invalid_lr():
     np.testing.assert_array_equal(out_d, [[5.0, 5.0, 5.0, 9.0]])
 
 
+def test_fill_invalid_lr_standalone():
+    """The product-surface wrapper: returns filled disp + filled mask."""
+    disp = np.array(
+        [[5.0, 0.0, 0.0, 9.0], [0.0, 0.0, 0.0, 0.0]], dtype=np.float32
+    )
+    valid = np.array([[1, 0, 0, 1], [0, 0, 0, 0]], dtype=bool)
+    out_d, filled = native.fill_invalid_lr(disp, valid)
+    np.testing.assert_array_equal(out_d[0], [5.0, 5.0, 5.0, 9.0])
+    np.testing.assert_array_equal(filled[0], [False, True, True, False])
+    # all-invalid rows cannot be filled and stay untouched
+    np.testing.assert_array_equal(out_d[1], disp[1])
+    assert not filled[1].any()
+    # inputs unmodified
+    assert disp[0, 1] == 0.0
+
+
+def test_fill_invalid_lr_fallback_matches_native(monkeypatch):
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    disp = rng.uniform(0, 60, size=(18, 25)).astype(np.float32)
+    valid = rng.random((18, 25)) > 0.4
+    valid[3] = False  # one unfillable row
+    n_d, n_f = native.fill_invalid_lr(disp, valid)
+    monkeypatch.setattr(native, "load", lambda: None)
+    p_d, p_f = native.fill_invalid_lr(disp, valid)
+    np.testing.assert_array_equal(n_d, p_d)
+    np.testing.assert_array_equal(n_f, p_f)
+
+
 def test_pnm_roundtrip(tmp_path):
     if native.load() is None:
         pytest.skip("no native toolchain")
