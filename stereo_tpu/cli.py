@@ -240,6 +240,25 @@ def cmd_eval(args) -> int:
 
     cfg = _cfg_from_args(args)
 
+    if args.hard_suite:
+        # Adversarial synthetic sweep (eval/hard_suite.py): radiometric
+        # distortion, occlusions, textureless regions, slanted planes,
+        # thin structures, rectification jitter.
+        from .eval.hard_suite import run_hard_suite
+
+        rows = run_hard_suite(
+            cfg,
+            shape=tuple(args.demo_shape),
+            seeds=tuple(range(args.limit or 3)),
+            model=args.model,
+        )
+        for r in rows:
+            print(json.dumps(r))
+            if args.results:
+                with open(args.results, "a") as f:
+                    f.write(json.dumps({"metric": "hard_suite", **r}) + "\n")
+        return 0
+
     def pairs():
         if args.middlebury:
             from .data.middlebury import discover_scenes, load_scene
@@ -408,6 +427,11 @@ def main(argv=None) -> int:
     add_common(p)
     p.add_argument("--middlebury", help="root of Middlebury scene dirs")
     p.add_argument("--kitti", help="KITTI 2015 training root")
+    p.add_argument("--hard-suite", action="store_true",
+                   help="adversarial synthetic sweep (radiometric/"
+                        "occlusion/textureless/slant/thin/jitter)")
+    p.add_argument("--demo-shape", type=int, nargs=2, default=(160, 288),
+                   help="pair shape for --hard-suite")
     p.add_argument("--limit", type=int)
     p.add_argument("--results", help="append JSONL records here")
     p.add_argument("--manifest", help="resume manifest path")

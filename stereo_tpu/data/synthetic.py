@@ -12,11 +12,32 @@ image samples it at ``left(y, x) = right(y, x - d(y, x))`` where ``d`` is
 the left-view ground-truth disparity — by construction pixel (y, x) in the
 left image corresponds to (y, x - d) in the right image. Occluded pixels
 (where the mapping is not injective) are flagged in the occlusion mask.
+
+Besides the clean scenes, this module generates ADVERSARIAL conditions
+(VERDICT r2 #1: easy warped pairs near-trivially favor census matching and
+cannot support the ≤4% bad-3.0 claim). The hard knobs model the failure
+modes real rigs hit:
+
+  * per-view radiometric distortion (``gain``/``bias``/``gamma`` applied to
+    the LEFT view only, after geometric construction) — exposure/vignetting
+    mismatch between cameras; census is invariant to monotone intensity
+    maps, SAD is not (census's raison d'être, SURVEY.md C2);
+  * independent sensor noise per view (``noise_std``);
+  * occlusion-heavy layered scenes (``kind="layers"``) — wide disocclusion
+    bands from large disparity jumps;
+  * textureless regions (``flat_frac``) — matching is locally ambiguous,
+    exercising SGM's smoothness propagation and the LR/uniqueness gates;
+  * slanted surfaces (``kind="wedges"``, fractional GT) and thin structures
+    (``kind="bars"``) — subpixel fits and fine-structure preservation;
+  * rectification jitter (``y_jitter``) — vertical misalignment breaking
+    the epipolar assumption by a fraction of a pixel.
+
+The curated scenario list lives in :mod:`stereo_tpu.eval.hard_suite`.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -27,6 +48,10 @@ class StereoPair(NamedTuple):
     gt_disp: np.ndarray     # [H, W] float32 left-view disparity
     gt_valid: np.ndarray    # [H, W] bool (GT defined and non-occluded)
     name: str = "synthetic"
+    # GT defined INCLUDING occluded pixels (the geometric left-view field is
+    # known everywhere in-frame) — the KITTI disp_occ analog, used to score
+    # occlusion fill. None for real datasets whose loaders predate it.
+    gt_valid_all: Optional[np.ndarray] = None
 
 
 def _sample_right(right: np.ndarray, disp: np.ndarray) -> np.ndarray:
@@ -62,49 +87,22 @@ def _occlusion_mask(disp: np.ndarray) -> np.ndarray:
     return occluded
 
 
-def make_pair(
-    shape: Tuple[int, int] = (128, 256),
-    max_disp: int = 15,
-    kind: str = "shapes",
-    texture: str = "noise",
-    noise_std: float = 0.0,
-    seed: int = 0,
-    subpixel: bool = False,
-) -> StereoPair:
-    """Generate a synthetic rectified stereo pair.
-
-    Args:
-      shape: (H, W).
-      max_disp: maximum ground-truth disparity (keep < config D).
-      kind: disparity-field family:
-        "constant"  — whole image at max_disp // 2 (exact-recovery tests);
-        "slant"     — linear left-to-right ramp 0..max_disp;
-        "shapes"    — background plane + 3 fronto-parallel fore objects;
-        "steps"     — horizontal bands at increasing depth.
-      texture: "noise" (random-dot) or "cloud" (band-limited smooth texture
-        with added dots, closer to natural images).
-      noise_std: stddev of iid sensor noise added to both views.
-      subpixel: allow fractional ground-truth disparities.
-
-    Returns: StereoPair with exact left-view GT and occlusion-aware validity.
-    """
-    h, w = shape
-    rng = np.random.default_rng(seed)
-
-    # --- ground-truth disparity field ---
+def _disparity_field(kind, h, w, max_disp, rng):
+    """Ground-truth left-view disparity for each scene family."""
     if kind == "constant":
-        disp = np.full((h, w), max_disp // 2, dtype=np.float32)
-    elif kind == "slant":
+        return np.full((h, w), max_disp // 2, dtype=np.float32)
+    if kind == "slant":
         ramp = np.linspace(0, max_disp, w, dtype=np.float32)
-        disp = np.broadcast_to(ramp[None, :], (h, w)).copy()
-    elif kind == "steps":
+        return np.broadcast_to(ramp[None, :], (h, w)).copy()
+    if kind == "steps":
         disp = np.zeros((h, w), dtype=np.float32)
         bands = 4
         for i in range(bands):
             disp[i * h // bands : (i + 1) * h // bands, :] = (
                 max_disp * (i + 1) / bands
             )
-    elif kind == "shapes":
+        return disp
+    if kind == "shapes":
         disp = np.full((h, w), max(1.0, 0.15 * max_disp), dtype=np.float32)
         for _ in range(3):
             cy, cx = rng.integers(h // 6, 5 * h // 6), rng.integers(
@@ -120,17 +118,63 @@ def make_pair(
             else:
                 mask = ((ys - cy) / ry) ** 2 + ((xs - cx) / rx) ** 2 < 1.0
             disp = np.where(mask & (level > disp), level, disp)
-    else:
-        raise ValueError(f"unknown kind {kind}")
+        return disp
+    if kind == "layers":
+        # Occlusion-heavy: many overlapping foreground objects with LARGE
+        # depth jumps over a far background — each jump of Δd pixels opens
+        # a Δd-wide disocclusion band to the object's left.
+        disp = np.full((h, w), 1.0, dtype=np.float32)
+        ys, xs = np.ogrid[:h, :w]
+        for _ in range(8):
+            cy, cx = rng.integers(0, h), rng.integers(0, w)
+            ry = rng.integers(max(2, h // 12), max(3, h // 4))
+            rx = rng.integers(max(2, w // 14), max(3, w // 5))
+            level = rng.uniform(0.55 * max_disp, max_disp)
+            if rng.random() < 0.5:
+                mask = (np.abs(ys - cy) < ry) & (np.abs(xs - cx) < rx)
+            else:
+                mask = ((ys - cy) / ry) ** 2 + ((xs - cx) / rx) ** 2 < 1.0
+            disp = np.where(mask & (level > disp), level, disp)
+        return disp
+    if kind == "wedges":
+        # Piecewise slanted planes: vertical strips, each a plane with a
+        # different x-slope and base — fractional disparities everywhere
+        # (exercises subpixel fits; integer WTA floors at bad-0.5).
+        disp = np.zeros((h, w), dtype=np.float32)
+        n_str = 4
+        edges = np.linspace(0, w, n_str + 1).astype(int)
+        for i in range(n_str):
+            x0, x1 = edges[i], edges[i + 1]
+            base = rng.uniform(0.1 * max_disp, 0.7 * max_disp)
+            slope = rng.uniform(-1.0, 1.0) * 0.3 * max_disp / max(1, x1 - x0)
+            yslope = rng.uniform(-0.5, 0.5) * 0.2 * max_disp / h
+            xs_l = np.arange(x1 - x0, dtype=np.float32)[None, :]
+            ys_l = np.arange(h, dtype=np.float32)[:, None]
+            disp[:, x0:x1] = base + slope * xs_l + yslope * ys_l
+        return np.clip(disp, 0.0, max_disp).astype(np.float32)
+    if kind == "bars":
+        # Thin foreground structures (2-4 px) over a far background: SGM's
+        # smoothness prior wants to erase them; measures fine-structure
+        # preservation (SURVEY.md §6 literature anchors).
+        disp = np.full((h, w), max(1.0, 0.1 * max_disp), dtype=np.float32)
+        level = 0.85 * max_disp
+        for _ in range(6):
+            if rng.random() < 0.5:
+                x = rng.integers(4, max(5, w - 4))
+                t = int(rng.integers(2, 5))
+                disp[:, x : x + t] = level
+            else:
+                y = rng.integers(4, max(5, h - 4))
+                t = int(rng.integers(2, 5))
+                disp[y : y + t, :] = level
+        return disp
+    raise ValueError(f"unknown kind {kind}")
 
-    if not subpixel:
-        disp = np.round(disp)
-    disp = np.clip(disp, 0, max_disp).astype(np.float32)
 
-    # --- right-view texture ---
+def _texture(texture, h, w, rng):
     if texture == "noise":
-        right = rng.integers(0, 256, size=(h, w)).astype(np.float32)
-    elif texture == "cloud":
+        return rng.integers(0, 256, size=(h, w)).astype(np.float32)
+    if texture == "cloud":
         base = rng.normal(size=(h // 8 + 2, w // 8 + 2))
         ys = np.linspace(0, base.shape[0] - 1.001, h)
         xs = np.linspace(0, base.shape[1] - 1.001, w)
@@ -144,11 +188,98 @@ def make_pair(
         )
         up = (up - up.min()) / (np.ptp(up) + 1e-9)
         dots = rng.integers(0, 256, size=(h, w)).astype(np.float32)
-        right = 0.65 * (up * 255.0) + 0.35 * dots
+        return 0.65 * (up * 255.0) + 0.35 * dots
+    raise ValueError(f"unknown texture {texture}")
+
+
+def make_pair(
+    shape: Tuple[int, int] = (128, 256),
+    max_disp: int = 15,
+    kind: str = "shapes",
+    texture: str = "noise",
+    noise_std: float = 0.0,
+    seed: int = 0,
+    subpixel: bool = False,
+    gain: float = 1.0,
+    bias: float = 0.0,
+    gamma: float = 1.0,
+    flat_frac: float = 0.0,
+    y_jitter: float = 0.0,
+) -> StereoPair:
+    """Generate a synthetic rectified stereo pair.
+
+    Args:
+      shape: (H, W).
+      max_disp: maximum ground-truth disparity (keep < config D).
+      kind: disparity-field family:
+        "constant"  — whole image at max_disp // 2 (exact-recovery tests);
+        "slant"     — linear left-to-right ramp 0..max_disp;
+        "shapes"    — background plane + 3 fronto-parallel fore objects;
+        "steps"     — horizontal bands at increasing depth;
+        "layers"    — 8 overlapping objects, wide disocclusions (HARD);
+        "wedges"    — piecewise slanted planes, fractional GT (HARD);
+        "bars"      — 2-4 px thin structures over far background (HARD).
+      texture: "noise" (random-dot) or "cloud" (band-limited smooth texture
+        with added dots, closer to natural images).
+      noise_std: stddev of INDEPENDENT iid sensor noise added per view.
+      subpixel: allow fractional ground-truth disparities.
+      gain/bias/gamma: radiometric distortion of the LEFT view only,
+        applied after geometric construction:
+        ``left' = gain * 255 * (left/255)^gamma + bias`` — a monotone
+        map modeling exposure/response mismatch between the two cameras.
+      flat_frac: approximate fraction of the image covered by textureless
+        (constant-intensity) patches painted into BOTH views consistently.
+      y_jitter: vertical rectification error in pixels — the right view is
+        resampled shifted by this amount, so true correspondences no longer
+        lie on the same row.
+
+    Returns: StereoPair with exact left-view GT, occlusion-aware validity,
+    and ``gt_valid_all`` (GT defined including occlusions, for scoring
+    occlusion fill).
+    """
+    h, w = shape
+    rng = np.random.default_rng(seed)
+
+    disp = _disparity_field(kind, h, w, max_disp, rng)
+    if kind == "wedges" or subpixel:
+        pass  # keep fractional GT
     else:
-        raise ValueError(f"unknown texture {texture}")
+        disp = np.round(disp)
+    disp = np.clip(disp, 0, max_disp).astype(np.float32)
+
+    right = _texture(texture, h, w, rng)
+
+    if flat_frac > 0.0:
+        # Paint constant-intensity patches into the RIGHT view before
+        # warping: both views see the same flat region, geometrically
+        # consistent but locally unmatchable.
+        target = flat_frac * h * w
+        covered = 0.0
+        ys, xs = np.ogrid[:h, :w]
+        while covered < target:
+            cy, cx = rng.integers(0, h), rng.integers(0, w)
+            ry = rng.integers(max(2, h // 10), max(3, h // 3))
+            rx = rng.integers(max(2, w // 10), max(3, w // 3))
+            mask = (np.abs(ys - cy) < ry) & (np.abs(xs - cx) < rx)
+            right[mask] = float(rng.integers(60, 200))
+            covered += mask.sum()
 
     left = _sample_right(right, disp)
+
+    if y_jitter != 0.0:
+        # Shift the right view vertically by a (fractional) jitter: the
+        # epipolar assumption now holds only to ~y_jitter pixels.
+        y0 = int(np.floor(y_jitter))
+        frac = y_jitter - y0
+        idx0 = np.clip(np.arange(h) + y0, 0, h - 1)
+        idx1 = np.clip(np.arange(h) + y0 + 1, 0, h - 1)
+        right = (1.0 - frac) * right[idx0] + frac * right[idx1]
+
+    if gamma != 1.0:
+        left = 255.0 * np.power(np.clip(left, 0, 255) / 255.0, gamma)
+    if gain != 1.0 or bias != 0.0:
+        left = gain * left + bias
+
     if noise_std > 0:
         left = left + rng.normal(0, noise_std, size=left.shape)
         right = right + rng.normal(0, noise_std, size=right.shape)
@@ -157,12 +288,22 @@ def make_pair(
     in_frame = (np.arange(w)[None, :] - disp) >= 0
     gt_valid = (~occluded) & in_frame
 
+    tag = ""
+    if gain != 1.0 or bias != 0.0 or gamma != 1.0:
+        tag += f"-rad{gain:g}_{bias:g}_{gamma:g}"
+    if noise_std:
+        tag += f"-n{noise_std:g}"
+    if flat_frac:
+        tag += f"-flat{flat_frac:g}"
+    if y_jitter:
+        tag += f"-jit{y_jitter:g}"
     return StereoPair(
         left=np.clip(left, 0, 255).astype(np.uint8),
         right=np.clip(right, 0, 255).astype(np.uint8),
         gt_disp=disp,
         gt_valid=gt_valid,
-        name=f"synthetic-{kind}-{texture}-{h}x{w}-d{max_disp}-s{seed}",
+        name=f"synthetic-{kind}-{texture}-{h}x{w}-d{max_disp}-s{seed}{tag}",
+        gt_valid_all=in_frame,
     )
 
 

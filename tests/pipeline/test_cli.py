@@ -38,6 +38,35 @@ def test_cli_run_rank_cost(tmp_path, capsys):
     assert m["bad3"] < 0.05
 
 
+def test_cli_run_fill_occlusions(capsys):
+    """--set fill_occlusions=true reaches host_postprocess: density ~1."""
+    rc = main([
+        "run", "--demo", "--demo-shape", "48", "80", "--demo-max-disp", "8",
+        "--preset", "kitti_sgm8_128", *SMALL,
+        "--set", "fill_occlusions=true",
+    ])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["density"] > 0.999
+    assert m["bad3"] < 0.10
+
+
+def test_cli_scale_harness(capsys):
+    """cli scale on fake devices: rows are valid JSON with sane fields
+    (validates the instrument, not the hardware — VERDICT r2 #3)."""
+    rc = main([
+        "scale", "--preset", "kitti_sgm8_128", *SMALL,
+        "--demo-shape", "48", "80", "--devices", "1,2", "--iters", "2",
+    ])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["devices"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["fps"] > 0
+        assert 0 < r["efficiency"] <= 1.5
+    assert rows[0]["efficiency"] == 1.0
+
+
 def test_cli_bench_quick(capsys):
     rc = main([
         "bench", "--preset", "middlebury_census_sgm4_64", *SMALL,

@@ -1,0 +1,101 @@
+"""Locked regression gates on the HARD synthetic suite (VERDICT r2 #1).
+
+The earlier rounds' quality gates ran only on clean warped pairs — easy
+enough that census matching is near-perfect and regressions hurting hard
+content (occlusions, low texture, radiometric mismatch) would pass
+silently. These thresholds were measured at this CI scale (96x160, D=16,
+seeds 0-1) and locked with ~1.5-2x headroom; the same scenarios at bench
+scale are recorded to bench_results/results.jsonl by bench.py --all.
+"""
+
+import numpy as np
+import pytest
+
+from stereo_tpu import PRESETS
+from stereo_tpu.eval.hard_suite import (
+    SCENARIOS,
+    census_vs_sad_robustness,
+    run_hard_suite,
+)
+
+CFG = PRESETS["kitti_sgm8_128"].replace(num_disparities=16)
+SHAPE = (96, 160)
+SEEDS = (0, 1)
+
+# scenario -> (max bad3_noc, min density_noc); measured r3:
+# clean .008/.985, radiometric .010/.983, noise .013/.979,
+# occlusion .029/.963, textureless .091/.880, slant .000/.993,
+# thin .125/.993, jitter .021/.964, combo .065/.901
+GATES = {
+    "clean": (0.02, 0.96),
+    "radiometric": (0.025, 0.95),
+    "noise": (0.03, 0.95),
+    "occlusion": (0.06, 0.92),
+    "textureless": (0.15, 0.82),
+    "slant": (0.01, 0.97),
+    "thin": (0.20, 0.97),
+    "jitter": (0.05, 0.92),
+    "combo": (0.12, 0.85),
+}
+
+
+@pytest.fixture(scope="module")
+def suite_rows():
+    rows = run_hard_suite(CFG, shape=SHAPE, seeds=SEEDS)
+    return {r["scenario"]: r for r in rows}
+
+
+def test_suite_covers_every_scenario(suite_rows):
+    assert set(suite_rows) == set(SCENARIOS) == set(GATES)
+
+
+@pytest.mark.parametrize("scenario", sorted(GATES))
+def test_hard_scenario_gate(suite_rows, scenario):
+    row = suite_rows[scenario]
+    max_bad3, min_density = GATES[scenario]
+    assert row["bad3_noc"] <= max_bad3, row
+    assert row["density_noc"] >= min_density, row
+
+
+def test_radiometric_costs_census_little(suite_rows):
+    """Census is invariant to monotone per-view maps: the radiometric
+    scenario must stay within ~3x of clean (it is ~1.2x today)."""
+    assert (
+        suite_rows["radiometric"]["bad3_noc"]
+        <= 3.0 * suite_rows["clean"]["bad3_noc"] + 0.005
+    )
+
+
+def test_census_beats_sad_under_radiometric_distortion():
+    """The measured raison-d'être gap (SURVEY.md C2): SAD collapses under
+    a gain/bias/gamma mismatch; census barely moves."""
+    out = census_vs_sad_robustness(CFG, shape=SHAPE, seeds=(0,))
+    assert out["census"]["bad3_noc"] < 0.03, out
+    assert out["sad"]["bad3_noc"] > 0.30, out
+    assert out["sad"]["bad3_noc"] > 5.0 * out["census"]["bad3_noc"]
+
+
+def test_occlusion_fill_on_hard_suite():
+    """cfg.fill_occlusions scored against all-pixels GT (gt_valid_all):
+    density goes to 1.0 and the filled estimate stays usable."""
+    rows = run_hard_suite(
+        CFG.replace(fill_occlusions=True),
+        shape=SHAPE, seeds=(0,), scenarios=["occlusion"],
+    )
+    r = rows[0]
+    assert r["density_all"] == 1.0
+    assert r["bad3_all"] < 0.15, r
+    # the non-occluded metric must not degrade vs the unfilled run
+    base = run_hard_suite(
+        CFG, shape=SHAPE, seeds=(0,), scenarios=["occlusion"]
+    )[0]
+    assert r["bad3_noc"] <= base["bad3_noc"] + 0.02
+
+
+def test_gt_valid_all_supersets_gt_valid():
+    from stereo_tpu.data.synthetic import make_pair
+
+    pair = make_pair(SHAPE, max_disp=12, kind="layers", seed=3)
+    assert pair.gt_valid_all is not None
+    assert (pair.gt_valid_all | ~pair.gt_valid).all()  # valid ⊆ valid_all
+    assert pair.gt_valid_all.sum() > pair.gt_valid.sum()  # occlusions exist

@@ -104,6 +104,29 @@ def test_adaptive_p2_runs():
     assert m["bad3"] < 0.05
 
 
+def test_fill_occlusions_raises_density():
+    """cfg.fill_occlusions wires native.fill_invalid_lr into
+    host_postprocess (SURVEY.md C11): filled pixels become estimates, so
+    density rises to ~1 while the error metrics stay sane."""
+    from stereo_tpu.pipeline.pipeline import host_postprocess
+
+    pair = make_pair((64, 128), max_disp=12, kind="shapes", seed=8)
+    cfg = StereoConfig(cost_fn="census", num_disparities=16, num_paths=4)
+    res = compute_disparity(pair.left, pair.right, cfg)
+    d0, v0 = host_postprocess(res.disp, res.valid, cfg)
+    d1, v1 = host_postprocess(
+        res.disp, res.valid, cfg.replace(fill_occlusions=True)
+    )
+    assert v1.sum() > v0.sum()
+    assert v1.all()  # every row has at least one valid pixel here
+    # already-valid pixels are untouched by the fill
+    np.testing.assert_array_equal(d1[v0], d0[v0])
+    m0 = evaluate_disparity(d0, pair.gt_disp, pair.gt_valid, v0)
+    m1 = evaluate_disparity(d1, pair.gt_disp, pair.gt_valid, v1)
+    assert m1["density"] > m0["density"]
+    assert m1["bad3"] < 0.10, m1
+
+
 def test_pipeline_is_jittable_and_cached():
     import jax
 
