@@ -1,0 +1,275 @@
+"""Per-pass roofline measurement (VERDICT r2 #2, BASELINE.json:5
+"kernels at speed-of-light per chip").
+
+The single whole-pipeline "fraction of HBM speed-of-light" number earlier
+rounds printed (19.5%) is uninterpretable by itself: the SGM pass kernels
+are VPU-COMPUTE-bound, not bandwidth-bound, so the binding ceiling is the
+vector unit's op rate, not 819 GB/s. This module measures, per pass:
+
+  * seconds on the chip (chained in-jit timer, tunnel-proof);
+  * bytes moved (exact: block reads/writes the kernel issues);
+  * VPU ops issued (counted from the kernel source — see the per-pass
+    breakdowns below);
+  * BOTH bounds — bytes / HBM_peak and ops / VPU_peak — and the fraction
+    of the TIGHTER (binding) one achieved.
+
+The VPU peak itself is MEASURED on the same chip with a synthetic
+elementwise kernel (measure_vpu_peak) rather than taken from a spec
+sheet: clock/ALU counts for this exact part + compiler are then baked
+into the anchor, and the resulting "X% of binding bound" is achieved-vs-
+achievable, not achieved-vs-brochure.
+
+Op counts per voxel (f32 elementwise VPU ops; one `min`/`add`/`select`/
+`shift`/`compare` = 1; a cross-lane min-reduce over D=128 lanes = 7
+butterfly steps; dtype converts = 1):
+
+  h pass (_h_kernel, L-carry _upd_lcarry, per step over [BR, D]):
+    reduce 7 + shifts 2 + cand 5 (add,min,min,add,min) + sub 1
+    + cost cast 1 + add-c 1 + origin-select 1 + store cast 1      = 19
+    (+2 on the reverse pass: accumulator read-add)
+  v down pass (_v_kernel, normalized _upd, 3 carries for 8-path):
+    per carry: upd 6 + origin-select 1 + add-c 1 + renorm 8 = 16
+    3 carries 48 + diag sublane shifts 2 + sum 2 + acc RMW 2
+    + cost cast 1                                                  = 55
+  v up fused (_v_fused_kernel): the same 55 + the selection epilogue
+    (packing 2, WTA reduce 7, subpixel 2 masked reduces ~18, LR shift
+    pyramids 2 x 3*log2(D) ~ 42 + masked reduce 9 + compare/selects 8)
+                                                         ~= 55 + 86 = 141
+  cost kernel (census 5x5): per pixel: 24 window compares + packing
+    ~ 50 ops/pixel amortized over D voxels -> per voxel: XOR 2 (two
+    32-bit words) + popcount ~ 8 + shift/mask ~ 4                  = 14
+
+These counts are estimates of issued ops, not cycles; lane shifts,
+sublane relayouts and int<->f32 converts may not all sustain 1/lane/cycle
+— the point is the ORDER: if measured/bound lands at tens of percent,
+the kernel is near its compute ceiling and the 19.5%-of-HBM number is
+explained; if it lands at a few percent, there is real headroom.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StereoConfig
+from ..utils.timing import chained_seconds_per_call
+
+HBM_PEAK_GBPS = 819.0  # TPU v5e
+
+# Elementwise-op counts per PADDED voxel, per the header derivation.
+OPS_PER_VOX = {
+    "cost": 14.0,
+    "h_fwd": 19.0,
+    "h_rev": 21.0,
+    "v_down": 55.0,
+    "v_up_fused": 141.0,
+}
+
+
+def measure_vpu_peak(iters: int = 30, interpret: bool = False) -> float:
+    """Achievable f32 elementwise ops/s on this chip (same timer as the
+    pass measurements).
+
+    A Pallas kernel keeps each [512, 128] block register/VMEM-resident
+    and applies K=256 dependent (add + min) op pairs before writing back
+    — 512 ops per element per HBM round trip, so the measured rate is the
+    vector unit's, not the memory system's. (A plain XLA elementwise
+    chain of the same ops did NOT fuse: it timed exactly 819 GB/s of HBM
+    sweeps — 209 "GOPS" — which is how the r2 single-number roofline went
+    wrong.)
+    """
+    from jax.experimental import pallas as pl
+
+    k = 256
+    rows, cols, blocks = 512, 128, 64
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[:]
+        for _ in range(k):
+            x = jnp.minimum(x + 1.0, jnp.float32(3e38))
+        o_ref[:] = x
+
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            grid=(blocks,),
+            in_specs=[pl.BlockSpec((rows, cols), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((rows, cols), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows * blocks, cols),
+                                           jnp.float32),
+            interpret=interpret,
+        )(x)
+
+    x = jnp.ones((rows * blocks, cols), jnp.float32)
+    sec = chained_seconds_per_call(jax.jit(run), (x,), iters=iters)
+    return 2.0 * k * rows * cols * blocks / sec
+
+
+def per_pass_report(
+    cfg: StereoConfig,
+    shape: Tuple[int, int] = (375, 1242),
+    iters: int = 30,
+    vpu_peak: float = None,
+    interpret: bool = False,
+) -> List[dict]:
+    """Measure each fused-pipeline pass in isolation on the current device.
+
+    Reuses the REAL pallas_calls (sgm_wta_fused_pallas's stage closures,
+    exposed via _expose_stages) with real intermediates as inputs, so the
+    timed programs are exactly the production kernels.
+    """
+    from ..ops.pallas.cost_kernel import census_cost_volume_pallas
+    from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
+    from ..data.synthetic import make_pair
+    from ..pipeline.pipeline import _vol_dtype
+
+    if cfg.cost_fn != "census":
+        raise NotImplementedError("per-pass roofline covers the census path")
+    h, w = shape
+    pair = make_pair(shape, max_disp=max(4, cfg.num_disparities * 3 // 4),
+                     kind="shapes", texture="cloud", seed=0)
+    left = jnp.asarray(pair.left)
+    right = jnp.asarray(pair.right)
+
+    vd = _vol_dtype(cfg, h, w)
+    vol, vol_whd = census_cost_volume_pallas(
+        left, right, cfg, out_dtype=vd, interpret=interpret
+    )
+    stages: dict = {}
+    disp, valid = sgm_wta_fused_pallas(
+        vol, cfg, cost_whd=vol_whd, true_shape=(h, w),
+        acc_dtype=jnp.int16, image=left, _expose_stages=stages,
+        interpret=interpret,
+    )
+    jax.block_until_ready(disp)
+    dims = stages["dims"]
+    hp, wp, d = dims["hp"], dims["wp"], dims["d"]
+    nvox = hp * wp * d
+    ci = dims["cost_itemsize"]
+    ai = dims["acc_itemsize"]
+
+    if vpu_peak is None:
+        vpu_peak = measure_vpu_peak(
+            iters=max(10, iters // 3), interpret=interpret
+        )
+
+    h_call, v_down, v_up = (
+        stages["h_call"], stages["v_down"], stages["v_up_fused"]
+    )
+
+    # PREFIX differencing: timing each pallas_call in isolation inflates
+    # every stage by the chained timer's per-iteration overhead (input
+    # bump write + aliasing copy + output reduction — measured ~0.5 ms
+    # at KITTI scale, which made 5 isolated stages sum to 12 ms against
+    # a 6.7 ms real frame). Instead time the REAL chain truncated after
+    # each stage; per-pass = successive difference, overheads cancel
+    # except the final-output reduction sweep, which is corrected for
+    # explicitly below.
+    hwd = dims["d"] >= 128
+
+    def make_prefix(n):
+        def fn(l, r):
+            vol, vol_whd = census_cost_volume_pallas(
+                l, r, cfg, out_dtype=vd, interpret=interpret
+            )
+            if vol_whd is None:  # small-D kernels emit one layout only
+                vol_whd = jnp.transpose(vol, (1, 0, 2))
+            if n == 0:
+                return vol, vol_whd
+            s = h_call(False, None, vol_whd)
+            if n == 1:
+                return s
+            s = h_call(True, s, vol_whd)
+            if n == 2:
+                return s
+            if not hwd:
+                s = jnp.transpose(s, (1, 0, 2))
+            s = v_down(s)
+            if n == 3:
+                return s
+            return v_up(s)
+        return fn
+
+    # Output bytes of each prefix (what _result_scalar sweeps).
+    out_bytes = [
+        2 * nvox * ci,
+        nvox * ai,
+        nvox * ai,
+        nvox * ai,
+        8 * hp * wp,
+    ]
+    prefix_sec = []
+    for n in range(5):
+        sec = chained_seconds_per_call(
+            jax.jit(make_prefix(n)), (left, right), iters=iters
+        )
+        # Remove the timer's output-reduction sweep so differences are
+        # pure stage time (sweep modeled at HBM peak; exact enough at
+        # the 0.1 ms scale it corrects).
+        prefix_sec.append(sec - out_bytes[n] / (HBM_PEAK_GBPS * 1e9))
+
+    # (name, bytes, ops). Bytes = exact block traffic: every pass streams
+    # the cost volume once; S is written (h_fwd), read+written (h_rev RMW,
+    # v_down RMW), read (v_up); the cost kernel reads two u8 images and
+    # writes BOTH volume layouts; v_up also writes f32 disp + i32 valid.
+    stage_list = [
+        ("cost", 2 * h * w + 2 * nvox * ci, OPS_PER_VOX["cost"] * nvox),
+        ("h_fwd", nvox * ci + nvox * ai, OPS_PER_VOX["h_fwd"] * nvox),
+        ("h_rev", nvox * ci + 2 * nvox * ai, OPS_PER_VOX["h_rev"] * nvox),
+        ("v_down", nvox * ci + 2 * nvox * ai, OPS_PER_VOX["v_down"] * nvox),
+        (
+            "v_up_fused",
+            nvox * ci + nvox * ai + 8 * hp * wp,
+            OPS_PER_VOX["v_up_fused"] * nvox,
+        ),
+    ]
+
+    rows = []
+    for i, (name, nbytes, nops) in enumerate(stage_list):
+        sec = prefix_sec[i] - (prefix_sec[i - 1] if i else 0.0)
+        sec = max(sec, 1e-9)
+        t_bytes = nbytes / (HBM_PEAK_GBPS * 1e9)
+        t_ops = nops / vpu_peak
+        bound = "vpu" if t_ops > t_bytes else "hbm"
+        t_bound = max(t_ops, t_bytes)
+        rows.append({
+            "pass": name,
+            "ms": round(sec * 1e3, 4),
+            "bytes_mb": round(nbytes / 1e6, 1),
+            "gops": round(nops / 1e9, 2),
+            "hbm_bound_ms": round(t_bytes * 1e3, 4),
+            "vpu_bound_ms": round(t_ops * 1e3, 4),
+            "binding": bound,
+            "sol_fraction": round(t_bound / sec, 3),
+        })
+    rows.append({
+        "pass": "TOTAL(chain)",
+        "ms": round(prefix_sec[-1] * 1e3, 4),
+        "vpu_peak_gops": round(vpu_peak / 1e9, 1),
+        "note": "full cost->SGM->epilogue chain (reduction-sweep "
+                "corrected); per-pass rows are successive prefix "
+                "differences of this chain",
+    })
+    return rows
+
+
+def main():  # pragma: no cover - driven manually on the TPU
+    import argparse
+
+    from ..config import PRESETS
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="kitti_sgm8_128")
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+    rows = per_pass_report(PRESETS[args.preset], iters=args.iters)
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -753,7 +753,7 @@ def _epilogue_shift(mat, base_shift, wp, interpret, sign=1):
 
 
 def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
-                    interpret, image_width, adaptive=False):
+                    interpret, image_width, adaptive=False, emit_d0=False):
     """Bottom-up vertical pass + FULL selection epilogue, never writing S.
 
     Per row, after summing the up paths onto the forward accumulator:
@@ -911,7 +911,16 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
             ok = ok * (ok_lr & in_frame).astype(jnp.int32)
 
         disp_cols[r] = disp_row
-        valid_cols[r] = ok
+        if emit_d0:
+            # Pack the INTEGER winner beside the gate: valid = ok + 2*d0.
+            # The exact-LR fast path (pipeline.py) needs integer winners
+            # for the consistency compare (LR precedes subpixel), and the
+            # subpixel disp cannot be rounded back bit-exactly (parabola
+            # offsets hit exactly +-0.5 on neighbor-cost ties). d0 < 2^9,
+            # so the pack rides the existing int32 output for free.
+            valid_cols[r] = ok + 2 * d0.astype(jnp.int32)
+        else:
+            valid_cols[r] = ok
     vc_ref[:] = v
     if diag:
         d1c_ref[:] = d1
@@ -934,9 +943,16 @@ def sgm_wta_fused_pallas(
     image_width: int = None,
     acc_dtype=None,
     image: jnp.ndarray = None,
+    emit_d0: bool = False,
+    _expose_stages: dict = None,
 ):
     """SGM + WTA + subpixel + uniqueness + LR-check, S never materialized
     in its final form.
+
+    ``emit_d0``: the int32 valid output packs the integer winner beside
+    the gate (valid = ok + 2*d0, d0 EXCLUDING min_disparity) and is
+    returned raw instead of cast to bool — the exact-LR fast path unpacks
+    it (pipeline.py).
 
     ``image`` ([H, W] reference-view intensities, true shape) is required
     when cfg.adaptive_p2 — the per-direction effective-P2 maps ride into
@@ -1121,6 +1137,7 @@ def sgm_wta_fused_pallas(
                 diag=diag, bh=bhf, ct=ct, use_roll=use_roll, cfg=cfg,
                 adaptive=adaptive,
                 interpret=interpret, image_width=image_width,
+                emit_d0=emit_d0,
             ),
             grid=(nbf,),
             in_specs=in_specs,
@@ -1144,12 +1161,28 @@ def sgm_wta_fused_pallas(
             f"cost_whd shape {cost_whd.shape} != padded {(wp, hp, d)}"
         )
     s_acc = h_call(False, None, cost_whd)
+    s1 = s_acc
     s_acc = h_call(True, s_acc, cost_whd)
     if not hwd:
         s_acc = jnp.transpose(s_acc, (1, 0, 2))
+    s2 = s_acc
     s_acc = v_down(s_acc)
     disp_o, valid_o = v_up_fused(s_acc)
+    if _expose_stages is not None:
+        # Per-pass roofline instrumentation (eval/roofline.py): the stage
+        # closures + real intermediates, so each pallas_call can be timed
+        # in isolation with representative inputs. Debug-only; never set
+        # on the hot path.
+        _expose_stages.update(
+            h_call=h_call, v_down=v_down, v_up_fused=v_up_fused,
+            cost=cost, cost_whd=cost_whd, s1=s1, s2=s2, s3=s_acc,
+            dims=dict(hp=hp, wp=wp, d=d, br=br, xc=xc, bh=bh,
+                      acc_itemsize=dt.itemsize,
+                      cost_itemsize=jnp.dtype(cost.dtype).itemsize),
+        )
     # The LR-consistency gate runs inside the fused kernel (see
     # _v_fused_kernel): exporting packed winner maps and comparing in XLA
     # cost ~3 ms/frame of [H, W, D]-sweep traffic at KITTI scale.
+    if emit_d0:
+        return disp_o[:h, :w], valid_o[:h, :w]
     return disp_o[:h, :w], valid_o[:h, :w].astype(bool)

@@ -210,3 +210,62 @@ def test_pipeline_int8_volume_dispatch_matches_golden():
     np.testing.assert_allclose(
         np.array(fast.disp), np.array(gold.disp), atol=1e-5
     )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(subpixel=False),
+        dict(uniqueness_ratio=0.05),
+        dict(adaptive_p2=True, p2_min=25),
+        dict(median_filter=False),
+    ],
+    ids=["base", "nosubpix", "uniq", "adaptive", "nomedian"],
+)
+def test_pipeline_lr_exact_fused_matches_golden(kw):
+    """Exact-LR on the fused fast path (VERDICT r2 #5): bit-identical to
+    the staged golden lr_exact pipeline end to end."""
+    from stereo_tpu.pipeline.pipeline import compute_disparity
+
+    rng = np.random.default_rng(17)
+    h, w = 48, 144
+    left = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    right = np.roll(left, 5, axis=1)
+    cfg = StereoConfig(**{
+        **dict(
+            cost_fn="census", census_window=(5, 5), num_disparities=16,
+            num_paths=8, p1=10, p2=120, subpixel=True, lr_check=True,
+            lr_exact=True, median_filter=True,
+        ),
+        **kw,
+    })
+    fast = compute_disparity(
+        left, right, cfg.replace(backend="pallas_interpret")
+    )
+    gold = compute_disparity(left, right, cfg.replace(backend="jnp"))
+    np.testing.assert_array_equal(np.array(fast.valid), np.array(gold.valid))
+    np.testing.assert_allclose(
+        np.array(fast.disp), np.array(gold.disp), atol=1e-5
+    )
+
+
+def test_emit_d0_packs_integer_winner():
+    """emit_d0: valid output = ok + 2*d0 with d0 the golden integer
+    winner (excluding min_disparity)."""
+    rng = np.random.default_rng(21)
+    h, w, d = 24, 40, 16
+    cost = rng.integers(0, 25, size=(h, w, d)).astype(np.int16)
+    cfg = StereoConfig(
+        num_paths=4, p1=3, p2=20, median_filter=False, lr_check=False,
+        min_disparity=2, uniqueness_ratio=0.05,
+    )
+    disp, packed = sgm_wta_fused_pallas(cost, cfg, interpret=True, emit_d0=True)
+    s = sgm_aggregate(cost.astype(np.int32), cfg)
+    g_disp, g_ok, g_dint = wta_with_aux(s, cfg)
+    packed = np.array(packed)
+    np.testing.assert_array_equal(packed & 1, np.array(g_ok).astype(int))
+    np.testing.assert_array_equal(
+        (packed >> 1) + cfg.min_disparity, np.array(g_dint)
+    )
+    np.testing.assert_allclose(np.array(disp), np.array(g_disp), atol=1e-5)
