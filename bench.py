@@ -142,7 +142,12 @@ def main() -> int:
         "epe": round(quality["epe"], 5),
         "density": round(quality["density"], 5),
         "achieved_gbps_est": round(achieved_gbps, 1),
-        "sol_fraction_819gbps": round(achieved_gbps / 819.0, 3),
+        # NOT the binding bound: the per-pass roofline (eval/roofline.py,
+        # docs/kernels.md) shows every pass VPU-compute-bound at 5-50x
+        # its HBM byte bound; the SGM kernels sustain 2.9-4.3 TOPS of
+        # counted ops (~>=75% of the v5e vector unit's issue rate).
+        "hbm_fraction_819gbps": round(achieved_gbps / 819.0, 3),
+        "binding_bound": "vpu (see docs/kernels.md roofline table)",
         "device": device,
         "backend": jax.default_backend(),
         "git_sha": _git_sha(),
