@@ -161,6 +161,22 @@ def _adaptive_maps(image, cfg, h, w, hp, wp, ct):
     return h_fwd_t, h_rev_t, jnp.stack(dn, axis=1), jnp.stack(up, axis=1)
 
 
+def _pack_map_lanes(m: jnp.ndarray, g: int, seg: int) -> jnp.ndarray:
+    """[..., W] adaptive-P2 map -> packed [..., W//G, G*seg] lane layout.
+
+    Matches the packed cost volume's reshape (G adjacent scan positions
+    share the lane axis, lane = grp*seg + rd): the map value at position
+    x = xg*G + grp repeats over its segment's seg disparity lanes, so the
+    segmented recurrence (_seg_upd) reads per-lane effective P2 with no
+    in-kernel relayout at all.
+    """
+    lead = m.shape[:-1]
+    w = m.shape[-1]
+    r = m.reshape(*lead, w // g, g, 1)
+    r = jnp.broadcast_to(r, (*lead, w // g, g, seg))
+    return r.reshape(*lead, w // g, g * seg)
+
+
 def _upd(n: jnp.ndarray, p1, p2, use_roll: bool = False) -> jnp.ndarray:
     """Candidate term of the SGM recurrence on a NORMALIZED carry.
 
@@ -346,6 +362,11 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
     def p2_at(x):
         if not adaptive:
             return p2
+        if seg:
+            # Packed-map layout (see _pack_map_lanes): the [XC, BRK, DK]
+            # block already carries the per-lane effective P2, so each
+            # step is a plain leading-dim load — no relayout at all.
+            return p2_ref[x]                           # [BRK, DK]
         return jnp.transpose(p2_ref[pl.ds(x, 1), :])   # [BR, 1]
 
     # L-carry form: the horizontal scan is latency-bound (see _upd_lcarry).
@@ -356,9 +377,10 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
     renorm = lambda l: l
 
     if out_hwd:
-        if adaptive:
+        if adaptive and not seg:
             # Unrolled steps take static lane slices of ONE whole-block
-            # transpose instead of XC single-row relayouts.
+            # transpose instead of XC single-row relayouts. (Packed maps
+            # are already lane-shaped; p2_at above loads them directly.)
             p2t = jnp.transpose(p2_ref[:])             # [BR, XC]
             p2_at = lambda x: p2t[:, x:x + 1]
         carry = carry_ref[:].astype(ct)
@@ -466,10 +488,17 @@ def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
     diag_a_fresh = x_iota <= x_lo
     diag_b_fresh = x_iota >= x_hi - 1
     nm = 3 if diag else 1
-    if adaptive:
+    if adaptive and seg:
+        # Packed maps (_pack_map_lanes): block is [BH, nm*WPK, DK] with the
+        # per-lane effective P2 already in the consumer's packed layout —
+        # per row each path is a static sublane slice, no relayout.
+        wpk = w  # vc_ref is the PACKED carry: (wpk, dk)
+        p_at = lambda r, path: p2m_ref[r, path * wpk:(path + 1) * wpk, :]
+    elif adaptive:
         # ONE whole-block relayout per grid step; every per-row per-path
         # column is then a free static lane slice.
         pmt = jnp.transpose(p2m_ref[:].reshape(bh * nm, w))  # [W, BH*nm]
+        p_at = lambda r, path: pmt[:, r * nm + path:r * nm + path + 1]
     v = vc_ref[:]
     d1 = d1c_ref[:] if diag else None
     d2 = d2c_ref[:] if diag else None
@@ -478,21 +507,21 @@ def _v_kernel(*refs, p1, p2, diag, bh, up, adaptive=False, ct=jnp.int32,
         c = cost_ref[r].astype(ct)
         grow = block * bh + r
         origin = (grow >= y_hi - 1) if up else (grow <= y_lo)
-        pv = pmt[:, r * nm:r * nm + 1] if adaptive else p2     # [W, 1]
+        pv = p_at(r, 0) if adaptive else p2                    # [W, 1]
         lv = jnp.where(origin, c, c + upd(v, pv))
         acc = lv
         if diag:
             # diagonal A: predecessor one pixel to the LEFT in the previous
             # scan row (down-right going down, up-right going up); fresh
             # start at the frame's left edge.
-            pa = pmt[:, r * nm + 1:r * nm + 2] if adaptive else p2
+            pa = p_at(r, 1) if adaptive else p2
             l1 = jnp.where(
                 jnp.logical_or(origin, diag_a_fresh),
                 c, c + upd(shift_a(d1), pa),
             )
             # diagonal B: predecessor one pixel to the RIGHT; fresh start
             # at the frame's right edge.
-            pb = pmt[:, r * nm + 2:r * nm + 3] if adaptive else p2
+            pb = p_at(r, 2) if adaptive else p2
             l2 = jnp.where(
                 jnp.logical_or(origin, diag_b_fresh),
                 c, c + upd(shift_b(d2), pb),
@@ -579,7 +608,7 @@ def sgm_aggregate_pallas(
     # and then uses ONE whole-frame row block.
     seg = None
     G = 1
-    if (_PACK_SMALL_D and not adaptive
+    if (_PACK_SMALL_D
             and d < 128 and 128 % d == 0 and d & (d - 1) == 0
             and wp % (8 * (128 // d)) == 0):
         seg = d
@@ -592,6 +621,16 @@ def sgm_aggregate_pallas(
     wpk = wp // G
     grid_h = (hp // br_h, wp // xc)
     dk_h = dk if seg_h else d
+    if adaptive and seg:
+        # Packed-lane map layout for the segmented recurrence (see
+        # _pack_map_lanes): same element count as the unpacked maps, and
+        # the kernels read them with zero relayout ops.
+        nm_ = 3 if diag else 1
+        p2v_dn = _pack_map_lanes(p2v_dn, G, seg).reshape(hp, nm_ * wpk, dk)
+        p2v_up = _pack_map_lanes(p2v_up, G, seg).reshape(hp, nm_ * wpk, dk)
+    if adaptive and seg_h:
+        p2h_f = _pack_map_lanes(p2h_f, G, seg)     # (wp, hpk, dk)
+        p2h_r = _pack_map_lanes(p2h_r, G, seg)
     # The unrolled no-transpose output assembles [BR, XC, D] blocks by
     # middle-dim concatenation, which Mosaic only lowers when D fills the
     # 128-lane register; smaller D emits in the scan (W, H, D) layout via
@@ -629,7 +668,9 @@ def sgm_aggregate_pallas(
         args = [bounds, cost_whd]
         if adaptive:
             in_specs.append(
-                pl.BlockSpec((xc, br), im_2d, memory_space=pltpu.VMEM)
+                pl.BlockSpec((xc, brk, dk_h), im_in, memory_space=pltpu.VMEM)
+                if seg_h
+                else pl.BlockSpec((xc, br), im_2d, memory_space=pltpu.VMEM)
             )
             args.append(p2h_r if reverse else p2h_f)
         if accumulate:
@@ -669,7 +710,9 @@ def sgm_aggregate_pallas(
         if adaptive:
             nm = 3 if diag else 1
             in_specs.append(
-                pl.BlockSpec((bh, nm, wp), im, memory_space=pltpu.VMEM)
+                pl.BlockSpec((bh, nm * wpk, dk), im, memory_space=pltpu.VMEM)
+                if seg
+                else pl.BlockSpec((bh, nm, wp), im, memory_space=pltpu.VMEM)
             )
             args.append(p2v_up if up else p2v_dn)
         in_specs.append(pl.BlockSpec((bh, wpk, dk), im,

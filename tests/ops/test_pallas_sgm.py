@@ -190,3 +190,34 @@ def test_pallas_sgm_rect_bounds_matches_masked_golden(paths):
         sgm_aggregate(cost, cfg, valid=jnp.asarray(rect))
     )
     np.testing.assert_array_equal(got[rect], want[rect])
+
+
+@pytest.mark.parametrize("paths", [4, 8])
+def test_pallas_sgm_adaptive_p2_lane_packed(paths):
+    """Adaptive P2 on the lane-packed small-D path (VERDICT r2 #8): the
+    pre-packed per-lane effective-P2 maps (_pack_map_lanes) through BOTH
+    packed pass families must stay bit-exact vs the golden adaptive
+    recurrence. h, w, d chosen so hp // G >= 32 sublanes, which turns on
+    horizontal-family packing too."""
+    from stereo_tpu.ops.pallas import sgm_kernel as sk
+
+    rng = np.random.default_rng(paths + 40)
+    h, w, d = 260, 150, 16
+    G = 128 // d
+    br, hp, _, wp = sk.plan_dims(h, w, d)
+    assert wp % (8 * G) == 0 and hp % (8 * G) == 0 and hp // G >= 32, \
+        "shape must take the packed path in BOTH pass families"
+    cost = rng.integers(0, 60, size=(h, w, d)).astype(np.int32)
+    img = rng.integers(0, 255, size=(h, w)).astype(np.uint8)
+    cfg = StereoConfig(
+        num_disparities=d, num_paths=paths, p1=7, p2=100,
+        adaptive_p2=True, p2_min=17,
+    )
+    got = np.array(
+        sgm_aggregate_pallas(
+            cost.astype(np.int16), cfg, interpret=True,
+            acc_dtype=np.int16, image=img,
+        )
+    ).astype(np.int32)
+    want = np.array(sgm_aggregate(cost, cfg, image=img))
+    np.testing.assert_array_equal(got, want)
