@@ -25,20 +25,27 @@ from ..config import StereoConfig
 from .census import census_transform, hamming_distance, rank_transform
 
 
-def _shifted_stack(x: jnp.ndarray, num_disparities: int) -> jnp.ndarray:
+def _shifted_stack(
+    x: jnp.ndarray, num_disparities: int, ctx: int = 0
+) -> jnp.ndarray:
     """Stack right-view quantity shifted by d = 0..D-1 along a new last axis.
 
     Args:
-      x: [H, W, ...] per-pixel quantity from the right view.
+      x: [H, W + ctx, ...] per-pixel quantity from the right view. The
+        leading ``ctx`` columns are extra LEFT context (frame-true columns
+        preceding this block — parallel/bands.py column patches pass the
+        true neighbours so interior costs stay frame-exact without running
+        the downstream SGM over them).
     Returns:
-      [H, W, D, ...] where out[y, x, d] = in[y, x - d], with x - d clamped to
-      0 (the caller masks the invalid region).
+      [H, W, D, ...] where out[y, x, d] = in[y, x + ctx - d], with the
+      index clamped to 0 (the caller masks the globally invalid region).
     """
-    h, w = x.shape[:2]
+    h, wc = x.shape[:2]
+    w = wc - ctx
     d = num_disparities
 
     def take(shift):
-        idx = jnp.maximum(jnp.arange(w) - shift, 0)
+        idx = jnp.maximum(jnp.arange(w) + ctx - shift, 0)
         return jnp.take(x, idx, axis=1)
 
     stacked = jax.vmap(take, out_axes=2)(jnp.arange(d))
@@ -80,7 +87,8 @@ def box_sum(img: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
 
 
 def sad_cost_volume(
-    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0,
+    right_context: int = 0,
 ) -> jnp.ndarray:
     """SAD block-matching cost volume.
 
@@ -88,13 +96,17 @@ def sad_cost_volume(
     in [0, 255] (normalized by window area so penalties are scale-comparable
     with the census path).
 
+    ``right_context``: extra frame-true columns prepended to ``right``
+    (see _shifted_stack); with context >= D-1 the interior costs match the
+    whole-frame volume exactly.
+
     Returns: [H, W, D] int32.
     """
     h, w = left.shape
     d = cfg.num_disparities
     l32 = left.astype(jnp.int32)
     r32 = right.astype(jnp.int32)
-    r_stack = _shifted_stack(r32, d)                       # [H, W, D]
+    r_stack = _shifted_stack(r32, d, right_context)        # [H, W, D]
     ad = jnp.abs(l32[:, :, None] - r_stack)                # [H, W, D]
     area = cfg.sad_window[0] * cfg.sad_window[1]
     summed = box_sum(ad, cfg.sad_window) // area           # [H, W, D]
@@ -103,9 +115,15 @@ def sad_cost_volume(
 
 
 def census_cost_volume(
-    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0,
+    right_context: int = 0,
 ) -> jnp.ndarray:
     """Census-Hamming cost volume (SURVEY.md C2+C4+C5 fused at trace level).
+
+    ``right_context``: extra frame-true columns prepended to ``right``;
+    with context >= D-1 + census radius the interior costs match the
+    whole-frame volume exactly (the transform clamps its window at the
+    wide slice edge, so the outermost radius columns need real backing).
 
     Returns: [H, W, D] int32, values in [0, window_bits].
     """
@@ -113,37 +131,40 @@ def census_cost_volume(
     d = cfg.num_disparities
     cl = census_transform(left, cfg.census_window)         # [H, W, words]
     cr = census_transform(right, cfg.census_window)
-    cr_stack = _shifted_stack(cr, d)                       # [H, W, D, words]
+    cr_stack = _shifted_stack(cr, d, right_context)        # [H, W, D, words]
     cost = hamming_distance(cl[:, :, None, :], cr_stack)   # [H, W, D]
     invalid = _invalid_mask(h, w, d, x_offset)
     return jnp.where(invalid, jnp.int32(cfg.max_unary_cost), cost)
 
 
 def rank_cost_volume(
-    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0,
+    right_context: int = 0,
 ) -> jnp.ndarray:
     """Rank-transform cost volume: |rank_l(x) - rank_r(x - d)|.
 
     The refined-rank family (PAPERS.md: Fully Parallel SGM with Refined
     Rank Method) — scalar per-pixel descriptor, absolute-difference cost.
+    ``right_context`` as in census_cost_volume.
     Returns [H, W, D] int32, values in [0, window_area - 1].
     """
     h, w = left.shape
     d = cfg.num_disparities
     rl = rank_transform(left, cfg.census_window)
     rr = rank_transform(right, cfg.census_window)
-    rr_stack = _shifted_stack(rr, d)
+    rr_stack = _shifted_stack(rr, d, right_context)
     cost = jnp.abs(rl[:, :, None] - rr_stack)
     invalid = _invalid_mask(h, w, d, x_offset)
     return jnp.where(invalid, jnp.int32(cfg.max_unary_cost), cost)
 
 
 def cost_volume(
-    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_offset=0,
+    right_context: int = 0,
 ) -> jnp.ndarray:
     """Dispatch on cfg.cost_fn. Returns [H, W, D] int32."""
     if cfg.cost_fn == "census":
-        return census_cost_volume(left, right, cfg, x_offset)
+        return census_cost_volume(left, right, cfg, x_offset, right_context)
     if cfg.cost_fn == "rank":
-        return rank_cost_volume(left, right, cfg, x_offset)
-    return sad_cost_volume(left, right, cfg, x_offset)
+        return rank_cost_volume(left, right, cfg, x_offset, right_context)
+    return sad_cost_volume(left, right, cfg, x_offset, right_context)

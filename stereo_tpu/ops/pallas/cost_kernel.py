@@ -57,7 +57,7 @@ def _popcount(x: jnp.ndarray) -> jnp.ndarray:
 
 def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
                  *, xc, d, bh, maxc, interpret, emit_t, words=1,
-                 combine="hamming"):
+                 combine="hamming", margin=False):
     """One [W?, BH, XC] descriptor tile -> [BH, XC, D] (+ [XC, BH, D]) cost.
 
     Descriptor refs carry a leading words axis; multi-word census sums the
@@ -81,6 +81,10 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
     # Patching the prev half keeps every broadcast single-axis (Mosaic
     # cannot broadcast in sublanes and lanes at once). Chunks j > 0 read
     # at most d - 1 <= xc real columns back into their true predecessor.
+    # With a right-descriptor margin (``margin``: parallel/bands.py column
+    # patches carry frame-true left context) chunk 0's predecessor is the
+    # margin chunk — real data, no clamp (the margin array itself bakes in
+    # the golden clamp where the context runs out).
     is_first = j == 0
     # The strided roll (tpu.dynamic_rotate) needs a 128-aligned lane
     # count; zero-pad the context on the right — the rolled garbage stays
@@ -90,8 +94,11 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
     for k in range(words):
         prev = cr_prev_ref[k]                                   # [BH, XC]
         cur = cr_cur_ref[k]
-        col0 = jnp.broadcast_to(cur[:, :1], prev.shape)
-        parts = [jnp.where(is_first, col0, prev), cur]
+        if margin:
+            parts = [prev, cur]
+        else:
+            col0 = jnp.broadcast_to(cur[:, :1], prev.shape)
+            parts = [jnp.where(is_first, col0, prev), cur]
         if cw > 2 * xc:
             parts.append(jnp.zeros((bh, cw - 2 * xc), cur.dtype))
         ctxs.append(jnp.concatenate(parts, axis=1))             # [BH, CW]
@@ -134,6 +141,7 @@ def _roll_cost_volume(
     emit_transposed: bool = True,
     out_dtype=jnp.int16,
     x_offset=0,
+    right_context: int = 0,
 ):
     """Shared roll-fanout volume builder over [words, H, W] descriptors.
 
@@ -141,6 +149,15 @@ def _roll_cost_volume(
     larger frame (parallel/bands.py) pass a static int, shard_map tiles
     (parallel/tiling.py) a traced scalar — so disparity-range invalidation
     matches the whole-frame pipeline.
+
+    ``right_context``: cr is [words, H, W + ctx] with ctx frame-true
+    columns of LEFT context (the columns preceding this block in the full
+    frame). The disparity fan-out then reads true neighbour descriptors
+    instead of the column-0 clamp, so interior costs are frame-exact
+    WITHOUT extending the SGM domain over them (parallel/bands.py: this
+    removes the +D left x-halo). Internally the context is realigned to a
+    whole number of XC margin chunks; where ctx falls short of the D-1
+    reach the margin edge-replicates, reproducing the golden clamp.
 
     Returns (cost [H, W, D], cost_whd [W, H, D] or None), identical to the
     golden per-pixel-descriptor cost volumes.
@@ -169,11 +186,27 @@ def _roll_cost_volume(
             out_dtype = jnp.int16
     xc = wp if wp < max(d, 128) else max(d, 128)
     cl = jnp.pad(cl, ((0, 0), (0, hp - h), (0, wp - w)))
+    if right_context:
+        # Realign the context to M = whole XC chunks: target margin column
+        # M-1 is the frame column just left of the block. Short context
+        # edge-replicates (== the golden index clamp at wide column 0).
+        m = -(-d // xc) * xc
+        lead = cr[:, :, max(0, right_context - m) : right_context]
+        if lead.shape[2] < m:
+            fill = jnp.broadcast_to(
+                cr[:, :, :1], (words, h, m - lead.shape[2])
+            )
+            lead = jnp.concatenate([fill, lead], axis=2)
+        cr = jnp.concatenate([lead, cr[:, :, right_context:]], axis=2)
+        mj = m // xc
+    else:
+        mj = 0
     cr = jnp.pad(cr, ((0, 0), (0, hp - h), (0, wp - w)))
     grid = (hp // bh, wp // xc)
 
     im = lambda i, j: (0, i, j)
-    im_prev = lambda i, j: (0, i, jnp.maximum(j - 1, 0))
+    im_r = lambda i, j: (0, i, j + mj)
+    im_prev = lambda i, j: (0, i, jnp.maximum(j + mj - 1, 0))
     out_shapes = [jax.ShapeDtypeStruct((hp, wp, d), out_dtype)]
     out_specs = [
         pl.BlockSpec((bh, xc, d), lambda i, j: (i, j, 0),
@@ -189,6 +222,7 @@ def _roll_cost_volume(
     kernel = functools.partial(
         _cost_kernel, xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret,
         emit_t=emit_transposed, words=words, combine=combine,
+        margin=mj > 0,
     )
     if not emit_transposed:
         kernel = functools.partial(
@@ -196,7 +230,7 @@ def _roll_cost_volume(
                 b_r, cl_r, cc_r, cp_r, o_r, None, **kw
             ),
             xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret, emit_t=False,
-            words=words, combine=combine,
+            words=words, combine=combine, margin=mj > 0,
         )
 
     bounds = jnp.stack(
@@ -208,7 +242,7 @@ def _roll_cost_volume(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((words, bh, xc), im, memory_space=pltpu.VMEM),
-            pl.BlockSpec((words, bh, xc), im, memory_space=pltpu.VMEM),
+            pl.BlockSpec((words, bh, xc), im_r, memory_space=pltpu.VMEM),
             pl.BlockSpec((words, bh, xc), im_prev, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -230,8 +264,13 @@ def census_cost_volume_pallas(
     emit_transposed: bool = True,
     out_dtype=jnp.int16,
     x_offset=0,
+    right_context: int = 0,
 ):
     """Census-Hamming cost volume on TPU (any census word count).
+
+    ``right_context``: right is [H, W + ctx] with ctx frame-true columns
+    prepended (see _roll_cost_volume) — bit-exact vs the golden
+    census_cost_volume with the same context.
 
     Returns (cost [H, W, D], cost_whd [W, H, D] or None), int16, identical
     to the golden census_cost_volume.
@@ -244,7 +283,7 @@ def census_cost_volume_pallas(
     return _roll_cost_volume(
         cl, cr, cfg, "hamming", interpret=interpret,
         emit_transposed=emit_transposed, out_dtype=out_dtype,
-        x_offset=x_offset,
+        x_offset=x_offset, right_context=right_context,
     )
 
 
@@ -256,12 +295,13 @@ def rank_cost_volume_pallas(
     emit_transposed: bool = True,
     out_dtype=jnp.int16,
     x_offset=0,
+    right_context: int = 0,
 ):
     """Rank-transform |rank_l - rank_r| cost volume on TPU.
 
     Same roll-fanout kernel as census with a single int32 descriptor word
     and an absolute-difference combine. Bit-exact vs the golden
-    rank_cost_volume.
+    rank_cost_volume (``right_context`` as in census_cost_volume_pallas).
     """
     if cfg.cost_fn != "rank":
         raise NotImplementedError("rank cost kernel: cfg.cost_fn != rank")
@@ -270,7 +310,7 @@ def rank_cost_volume_pallas(
     return _roll_cost_volume(
         rl, rr, cfg, "absdiff", interpret=interpret,
         emit_transposed=emit_transposed, out_dtype=out_dtype,
-        x_offset=x_offset,
+        x_offset=x_offset, right_context=right_context,
     )
 
 
@@ -400,6 +440,7 @@ def sad_cost_volume_pallas(
     interpret: bool = False,
     out_dtype=jnp.int16,
     x_offset=0,
+    right_context: int = 0,
 ):
     """SAD block-matching cost volume on TPU, box filter fused.
 
@@ -411,6 +452,10 @@ def sad_cost_volume_pallas(
     """
     if cfg.cost_fn != "sad":
         raise NotImplementedError("sad cost kernel: cfg.cost_fn != sad")
+    if right_context:
+        # The fused box filter's edge-replication is defined on the local
+        # slice; context-extended SAD stays on the golden path.
+        raise NotImplementedError("sad kernel: right_context unsupported")
     h, w = left.shape
     if not sad_kernel_supported(cfg, h, w):
         raise NotImplementedError("sad kernel unsupported for this config")

@@ -119,7 +119,8 @@ def _vol_dtype(cfg: StereoConfig, h: int, w: int):
     return jnp.int16
 
 
-def _build_cost(left, right, cfg: StereoConfig, valid, constrain, x_offset):
+def _build_cost(left, right, cfg: StereoConfig, valid, constrain, x_offset,
+                right_context=0):
     """[H, W, D] cost volume; Pallas kernels where they apply.
 
     Unconstrained, unmasked, static-origin calls (whole frames and
@@ -133,6 +134,7 @@ def _build_cost(left, right, cfg: StereoConfig, valid, constrain, x_offset):
         and constrain is None
         and valid is None
         and isinstance(x_offset, int)
+        and (right_context == 0 or cfg.cost_fn in ("census", "rank"))
     )
     interp = False
     if usable:
@@ -145,17 +147,23 @@ def _build_cost(left, right, cfg: StereoConfig, valid, constrain, x_offset):
         if kern is not None:
             h, w = left.shape
             volp, _ = kern(
-                left, right, cfg, x_offset=x_offset, interpret=interp
+                left, right, cfg, x_offset=x_offset, interpret=interp,
+                right_context=right_context,
             )
             return volp[:h, :w].astype(jnp.int32)
-    return cost_volume(left, right, cfg, x_offset=x_offset)
+    return cost_volume(
+        left, right, cfg, x_offset=x_offset, right_context=right_context
+    )
 
 
 def _aggregate(
-    left, right, cfg: StereoConfig, valid=None, constrain=None, x_offset=0
+    left, right, cfg: StereoConfig, valid=None, constrain=None, x_offset=0,
+    right_context=0,
 ):
     """Cost volume + SGM for one reference view. Returns [H, W, D] int."""
-    vol = _build_cost(left, right, cfg, valid, constrain, x_offset)
+    vol = _build_cost(
+        left, right, cfg, valid, constrain, x_offset, right_context
+    )
     if constrain is not None and len(constrain) > 2 and constrain[2] is not None:
         # Cost-volume placement hook: P3 disparity-plane sharding
         # (parallel/exact.py dplane_cost) annotates the freshly built
@@ -260,11 +268,16 @@ def compute_disparity(
     image_width: Optional[int] = None,
     y_offset=0,
     image_height: Optional[int] = None,
+    right_context: int = 0,
 ) -> StereoResult:
     """Full pipeline on a rectified pair.
 
     Args:
       left, right: [H, W] uint8 (or float) rectified grayscale images.
+        With ``right_context`` = ctx > 0, right is [H, W + ctx]: ctx
+        frame-true columns preceding this block are prepended so the
+        disparity search reads real neighbours without extending the SGM
+        domain (parallel/bands.py column patches; census/rank costs).
       cfg: static StereoConfig.
       valid: optional [H, W] bool pixel-validity mask (tiled runs pass halo
         masks so SGM carries reset at true image borders, not tile borders).
@@ -281,10 +294,19 @@ def compute_disparity(
 
     Returns: StereoResult(disp [H, W] f32, valid [H, W] bool).
     """
-    if left.ndim != 2 or left.shape != right.shape:
+    if left.ndim != 2 or right.ndim != 2 or (
+        left.shape[0] != right.shape[0]
+        or left.shape[1] + right_context != right.shape[1]
+    ):
         raise ValueError(
-            "expected matching [H, W] rectified images, got "
-            f"left {left.shape} vs right {right.shape}"
+            "expected [H, W] left and [H, W + right_context] right, got "
+            f"left {left.shape} vs right {right.shape} "
+            f"(right_context={right_context})"
+        )
+    if right_context and (cfg.lr_exact or image_height is not None):
+        raise NotImplementedError(
+            "right_context supports static column patches only "
+            "(no lr_exact flipped pass, no rectangular-tile mode)"
         )
 
     rect = image_height is not None
@@ -295,6 +317,7 @@ def compute_disparity(
         and cfg.lr_check
         and cfg.lr_exact
         and not rect
+        and right_context == 0
         and isinstance(x_offset, int)
         and x_offset == 0
         and (image_width is None or image_width == left.shape[1])
@@ -330,6 +353,8 @@ def compute_disparity(
             iw = image_width
             bounds = None
         cost_kernel = _cost_kernel_for(cfg, th, tw) if (static_off or rect) else None
+        if right_context and cfg.cost_fn == "sad":
+            cost_kernel = None  # fused SAD has no context path; golden does
         if cost_kernel is not None:
             # Pallas cost kernels emit the padded volume (census/rank also
             # the transposed layout feeding the horizontal SGM passes
@@ -343,7 +368,7 @@ def compute_disparity(
             )
             vol, vol_whd = cost_kernel(
                 left, right, cfg, x_offset=x_offset, interpret=interpret,
-                **kw,
+                right_context=right_context, **kw,
             )
             disp, ok = sgm_wta_fused_pallas(
                 vol, cfg, cost_whd=vol_whd, true_shape=left.shape,
@@ -352,7 +377,10 @@ def compute_disparity(
                 acc_dtype=jnp.int16, image=left,
             )
         elif static_off or rect:
-            vol = cost_volume(left, right, cfg, x_offset=x_offset)
+            vol = cost_volume(
+                left, right, cfg, x_offset=x_offset,
+                right_context=right_context,
+            )
             disp, ok = sgm_wta_fused_pallas(
                 vol.astype(_vol_dtype(cfg, th, tw)), cfg,
                 x_offset=x_offset if static_off else 0,
@@ -360,7 +388,10 @@ def compute_disparity(
                 acc_dtype=jnp.int16, image=left,
             )
         else:
-            vol = cost_volume(left, right, cfg, x_offset=x_offset)
+            vol = cost_volume(
+                left, right, cfg, x_offset=x_offset,
+                right_context=right_context,
+            )
             s = sgm_aggregate(vol.astype(jnp.float32), cfg, image=left)
             disp, ok, d_int = wta_with_aux(s, cfg)
             disp, ok = apply_postprocess(
@@ -385,7 +416,8 @@ def compute_disparity(
         valid = (ys >= 0) & (ys < ih) & (xs >= 0) & (xs < iw)
 
     s = _aggregate(
-        left, right, cfg, valid=valid, constrain=constrain, x_offset=x_offset
+        left, right, cfg, valid=valid, constrain=constrain,
+        x_offset=x_offset, right_context=right_context,
     )
     disp, ok, d_int = wta_with_aux(s, cfg)
 

@@ -101,3 +101,113 @@ def test_sad_kernel_guards():
     assert not sad_kernel_supported(base.replace(sad_window=(19, 19)), 32, 64)
     assert not sad_kernel_supported(base.replace(num_disparities=4), 32, 64)
     assert not sad_kernel_supported(base.replace(cost_fn="census"), 32, 64)
+
+
+# ---------------------------------------------------------------------------
+# right_context: frame-true left context for column patches (VERDICT r2 #7 —
+# removes the +D left x-halo from parallel/bands.py).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ctx_kind", ["full", "short", "unaligned"])
+def test_cost_kernel_right_context_bit_exact(ctx_kind):
+    """Kernel with context == golden with the same context, bit for bit."""
+    rng = np.random.default_rng(7)
+    h, w = 24, 256
+    d = 128
+    cfg = StereoConfig(cost_fn="census", census_window=(5, 5), num_disparities=d)
+    x0 = 300
+    ctx = {"full": d + 1, "short": 37, "unaligned": 150}[ctx_kind]
+    left = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    right = rng.integers(0, 256, size=(h, w + ctx)).astype(np.uint8)
+    want = np.array(
+        census_cost_volume(left, right, cfg, x_offset=x0, right_context=ctx)
+    )
+    got, got_t = census_cost_volume_pallas(
+        left, right, cfg, interpret=True, x_offset=x0, right_context=ctx
+    )
+    np.testing.assert_array_equal(np.array(got)[:h, :w], want)
+    np.testing.assert_array_equal(
+        np.array(got_t)[:w, :h].transpose(1, 0, 2), want
+    )
+
+
+def test_right_context_is_frame_exact_in_interior():
+    """A column patch with context >= D-1+radius reproduces the whole-frame
+    volume everywhere except the window-clamped patch edge columns (which
+    the banded runner's warm-up halo absorbs)."""
+    rng = np.random.default_rng(11)
+    H, W = 30, 520
+    cfg = StereoConfig(cost_fn="census", census_window=(5, 5), num_disparities=128)
+    left = rng.integers(0, 256, size=(H, W)).astype(np.uint8)
+    right = rng.integers(0, 256, size=(H, W)).astype(np.uint8)
+    full = np.array(census_cost_volume(left, right, cfg))
+    x0, x1, r = 256, 512, 2
+    ctx = cfg.num_disparities - 1 + r
+    patch = np.array(
+        census_cost_volume(
+            left[:, x0:x1], right[:, x0 - ctx : x1], cfg,
+            x_offset=x0, right_context=ctx,
+        )
+    )
+    np.testing.assert_array_equal(
+        patch[:, r : x1 - x0 - r], full[:, x0 + r : x1 - r]
+    )
+
+
+def test_rank_kernel_right_context_bit_exact():
+    from stereo_tpu.ops.cost import rank_cost_volume
+    from stereo_tpu.ops.pallas.cost_kernel import rank_cost_volume_pallas
+
+    rng = np.random.default_rng(3)
+    h, w, d, ctx = 16, 128, 128, 130
+    cfg = StereoConfig(cost_fn="rank", census_window=(5, 5), num_disparities=d)
+    left = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    right = rng.integers(0, 256, size=(h, w + ctx)).astype(np.uint8)
+    want = np.array(
+        rank_cost_volume(left, right, cfg, x_offset=200, right_context=ctx)
+    )
+    got, _ = rank_cost_volume_pallas(
+        left, right, cfg, interpret=True, x_offset=200, right_context=ctx
+    )
+    np.testing.assert_array_equal(np.array(got)[:h, :w], want)
+
+
+def test_pipeline_right_context_matches_wide_halo():
+    """compute_disparity on a context patch == the same patch computed with
+    a full +D left halo and trimmed (frame-exact cost + identical SGM
+    domain start => identical output where the SGM warm-up matches: use
+    P1=P2=0 so there is no propagation at all)."""
+    import jax.numpy as jnp
+
+    from stereo_tpu.pipeline.pipeline import compute_disparity
+
+    rng = np.random.default_rng(5)
+    H, W = 24, 512
+    d = 128
+    cfg = StereoConfig(
+        cost_fn="census", census_window=(5, 5), num_disparities=d,
+        num_paths=8, p1=0, p2=0, subpixel=True, lr_check=False,
+        median_filter=False, backend="jnp",
+    )
+    left = jnp.asarray(rng.integers(0, 256, size=(H, W)).astype(np.uint8))
+    right = jnp.asarray(rng.integers(0, 256, size=(H, W)).astype(np.uint8))
+    x0, x1, halo, r = 256, 448, 8, 2
+    g0 = x0 - halo
+    ctx = d - 1 + r
+    res_ctx = compute_disparity(
+        left[:, g0:x1], right[:, g0 - ctx : x1], cfg,
+        x_offset=g0, image_width=W, right_context=ctx,
+    )
+    f0 = x0 - halo - d
+    res_wide = compute_disparity(
+        left[:, f0:x1], right[:, f0:x1], cfg, x_offset=f0, image_width=W
+    )
+    a0 = x0 - g0
+    b0 = x0 - f0
+    np.testing.assert_array_equal(
+        np.array(res_ctx.disp[:, a0:]), np.array(res_wide.disp[:, b0:])
+    )
+    np.testing.assert_array_equal(
+        np.array(res_ctx.valid[:, a0:]), np.array(res_wide.valid[:, b0:])
+    )
