@@ -796,7 +796,8 @@ def _epilogue_shift(mat, base_shift, wp, interpret, sign=1):
 
 
 def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
-                    interpret, image_width, adaptive=False, emit_d0=False):
+                    interpret, image_width, adaptive=False, emit_d0=False,
+                    emit_qr=False, qr_src=None):
     """Bottom-up vertical pass + FULL selection epilogue, never writing S.
 
     Per row, after summing the up paths onto the forward accumulator:
@@ -819,14 +820,32 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
     [H, W, D] sweeps cost ~3 ms/frame at KITTI scale (the dominant
     pipeline overhead once aggregation was tuned).
 
+    ``emit_qr`` (parallel/bands.py LR stitching, VERDICT r2 #7): two extra
+    outputs emit the PACKED right-view partial min m_r = min_d over
+    IN-PATCH anti-diagonals of S(x+d, d)*PD + d (lanes whose source column
+    exceeds the patch's true extent are masked BIG, so m_r is a true
+    partial a neighbouring patch's m_r can be min-combined with in XLA),
+    plus the LEFT-SPILL [BH, SP] — the same partial mins at block-local
+    positions [-SP, 0), this block's contribution to the PREVIOUS patch's
+    map. The spill is free of a second shift pyramid: the mod-W wraps of
+    the one existing anti-diagonal restack land q[x + d - W] (sources in
+    [0, D)) exactly on rows [W - SP, W), so one extra mask + lane-min per
+    row recovers them. The valid output then packs the gates separately —
+    valid = ok_nolr + 2*ok_lr + 4*d0 — because the stitcher must replace
+    the (edge-truncated) in-kernel LR verdict in boundary strips while
+    keeping the uniqueness gate.
+
     Refs, in order: bounds (SMEM), cost block, [p2 maps block if adaptive
     — [BH, n_maps, W] per-direction effective-P2, see _v_kernel], forward
-    accumulator block, disp/valid outputs, three carry scratches.
+    accumulator block, disp/valid[/qr/spill] outputs, three carry
+    scratches.
     """
     it = iter(refs)
     b_ref, cost_ref = next(it), next(it)
     p2m_ref = next(it) if adaptive else None
     acc_ref, disp_ref, valid_ref = next(it), next(it), next(it)
+    qr_ref = next(it) if emit_qr else None
+    spill_ref = next(it) if emit_qr else None
     vc_ref, d1c_ref, d2c_ref = next(it), next(it), next(it)
     pid = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -859,12 +878,39 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
     d2 = d2c_ref[:] if diag else None
     disp_cols = [None] * bh
     valid_cols = [None] * bh
+    qr_cols = [None] * bh
     df = jnp.float32(d)
     lane_f = lane.astype(jnp.float32)
     if cfg.lr_check:
         # Hoisted LR invariants: local x column and the global in-frame
         # test of the correspondence x - d_L - md (cheap [W, 1] math).
         x_col = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    if emit_qr:
+        # Source columns are restricted to the patch's OWNED range
+        # (qr_src, static block-local): every frame column is counted by
+        # exactly ONE patch — the one where its census window is complete
+        # and its S is halo-warmed — so min-combining partials across
+        # patches reconstructs the frame map without letting a patch's
+        # edge-clamped cost fringe (census windows read off-block zeros —
+        # arbitrarily small fake costs) win the min. Also kills padding/
+        # wrap garbage (own_hi <= true extent).
+        own_lo, own_hi = qr_src if qr_src is not None else (0, None)
+        src = x_iota + lane
+        trunc_r = (src < own_lo) | (
+            src >= own_hi if own_hi is not None else src >= x_hi
+        )
+        sp_w = max(pd, 128)
+        spill_cols = [None] * bh
+        # Left-spill keep mask: exactly the wrapped entries of the shift
+        # pyramid (source column s = x + lane - W), same owned-range and
+        # global-frame restrictions as the main map's unwrapped sources.
+        sw = src - w
+        wrap_keep = (
+            (src >= w)
+            & (sw >= own_lo)
+            & (sw < own_hi if own_hi is not None else sw < x_hi)
+            & (x0 + sw < image_width)
+        )
     for r in range(bh - 1, -1, -1):
         c = cost_ref[r].astype(ct)
         grow = block * bh + r
@@ -931,8 +977,10 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
             # first-min ties. Samples beyond the GLOBAL frame are masked
             # huge (x0: block's global x origin); rows with every lane
             # masked take winner 0, matching the golden argmin-over-big.
-            q_r = _epilogue_shift(q, 0, w, interpret, sign=-1)
-            q_r = jnp.where(oof_right, BIG, q_r)
+            q_rr = _epilogue_shift(q, 0, w, interpret, sign=-1)
+            q_r = jnp.where(oof_right, BIG, q_rr)
+            if emit_qr:
+                q_r = jnp.where(trunc_r, BIG, q_r)
             m_r = jnp.min(q_r, axis=1, keepdims=True)              # [W,1]
             d_r = m_r - jnp.floor(m_r * inv_pd) * pdf
             d_r = jnp.where(m_r < BIG, d_r, 0.0)
@@ -950,11 +998,31 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
             )
             xr_g = x0 + x_col - d0.astype(jnp.int32) - md
             in_frame = (xr_g >= 0) & (xr_g < image_width)
-            ok_lr = (jnp.abs(d0 - d_r_at) <= jnp.float32(cfg.lr_tau))
-            ok = ok * (ok_lr & in_frame).astype(jnp.int32)
+            lr_bit = ((jnp.abs(d0 - d_r_at) <= jnp.float32(cfg.lr_tau))
+                      & in_frame).astype(jnp.int32)
+            if not emit_qr:
+                ok = ok * lr_bit
 
         disp_cols[r] = disp_row
-        if emit_d0:
+        if emit_qr:
+            # Separate gate bits + integer winner (see docstring): the
+            # stitcher recombines ok_nolr with a cross-patch LR verdict in
+            # boundary strips and with lr_bit elsewhere.
+            valid_cols[r] = ok + 2 * lr_bit + 4 * d0.astype(jnp.int32)
+            qr_cols[r] = m_r
+            m_sp = jnp.min(
+                jnp.where(wrap_keep, q_rr, BIG), axis=1, keepdims=True
+            )
+            # Blocks narrower than SP emit BIG for positions < -W (no
+            # in-block source can reach them; golden twin agrees).
+            k = min(w, sp_w)
+            spc = m_sp[w - k:]
+            if k < sp_w:
+                spc = jnp.concatenate(
+                    [jnp.full((sp_w - k, 1), BIG, jnp.float32), spc], axis=0
+                )
+            spill_cols[r] = spc
+        elif emit_d0:
             # Pack the INTEGER winner beside the gate: valid = ok + 2*d0.
             # The exact-LR fast path (pipeline.py) needs integer winners
             # for the consistency compare (LR precedes subpixel), and the
@@ -972,6 +1040,9 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
     # (output blocks must keep >=8x128-tileable trailing dims).
     disp_ref[:] = jnp.concatenate(disp_cols, axis=1).T
     valid_ref[:] = jnp.concatenate(valid_cols, axis=1).T
+    if emit_qr:
+        qr_ref[:] = jnp.concatenate(qr_cols, axis=1).T
+        spill_ref[:] = jnp.concatenate(spill_cols, axis=1).T
 
 
 def sgm_wta_fused_pallas(
@@ -987,6 +1058,8 @@ def sgm_wta_fused_pallas(
     acc_dtype=None,
     image: jnp.ndarray = None,
     emit_d0: bool = False,
+    emit_qr: bool = False,
+    qr_src=None,
     _expose_stages: dict = None,
 ):
     """SGM + WTA + subpixel + uniqueness + LR-check, S never materialized
@@ -996,6 +1069,17 @@ def sgm_wta_fused_pallas(
     the gate (valid = ok + 2*d0, d0 EXCLUDING min_disparity) and is
     returned raw instead of cast to bool — the exact-LR fast path unpacks
     it (pipeline.py).
+
+    ``emit_qr`` (requires cfg.lr_check): returns third and fourth float32
+    outputs — the packed right-view PARTIAL min m_r ([H, W]) and its
+    left-spill ([H, SP], SP = max(PD, 128), column j = the partial min at
+    block-local position j - SP; see _v_fused_kernel) for cross-patch LR
+    stitching (parallel/bands.py) — and the valid output packs
+    valid = ok_nolr + 2*ok_lr + 4*d0 raw. ``qr_src`` (static block-local
+    (lo, hi), default the whole true extent) masks which source columns
+    the partials may draw from — the stitcher passes the patch's OWNED
+    column range so every frame column is counted by exactly one patch
+    (see _v_fused_kernel).
 
     ``image`` ([H, W] reference-view intensities, true shape) is required
     when cfg.adaptive_p2 — the per-direction effective-P2 maps ride into
@@ -1019,6 +1103,8 @@ def sgm_wta_fused_pallas(
     """
     if cfg.num_paths == 0:
         raise NotImplementedError("fused path requires SGM (num_paths > 0)")
+    if emit_qr and not cfg.lr_check:
+        raise ValueError("emit_qr requires cfg.lr_check")
     adaptive = bool(cfg.adaptive_p2)
     h, w = true_shape if true_shape is not None else cost.shape[:2]
     d = cost.shape[2]
@@ -1044,6 +1130,11 @@ def sgm_wta_fused_pallas(
         dt = jnp.dtype(jnp.int16)
 
     br, hp, xc, wp = plan_dims(h, w, d)
+    sp_w = max(1 << max(0, (d - 1).bit_length()), 128)
+    # One mod-W wrap of the shift pyramid covers spill positions down to
+    # -wp; only positions >= -(D-1) can have in-block sources, so
+    # wp >= d suffices (plan_dims guarantees it).
+    assert not emit_qr or wp >= d, (wp, d)
     if cost.shape[:2] == (h, w) and (hp, wp) != (h, w):
         cost = jnp.pad(cost, ((0, hp - h), (0, wp - w), (0, 0)))
     if cost.shape[:2] != (hp, wp):
@@ -1180,18 +1271,24 @@ def sgm_wta_fused_pallas(
                 diag=diag, bh=bhf, ct=ct, use_roll=use_roll, cfg=cfg,
                 adaptive=adaptive,
                 interpret=interpret, image_width=image_width,
-                emit_d0=emit_d0,
+                emit_d0=emit_d0, emit_qr=emit_qr, qr_src=qr_src,
             ),
             grid=(nbf,),
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
-            ],
+            ] + ([
+                pl.BlockSpec((bhf, wp), im2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhf, sp_w), im2, memory_space=pltpu.VMEM),
+            ] if emit_qr else []),
             out_shape=[
                 jax.ShapeDtypeStruct((hp, wp), jnp.float32),
                 jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            ],
+            ] + ([
+                jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((hp, sp_w), jnp.float32),
+            ] if emit_qr else []),
             scratch_shapes=[carry(), carry(), carry()],
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
@@ -1210,7 +1307,8 @@ def sgm_wta_fused_pallas(
         s_acc = jnp.transpose(s_acc, (1, 0, 2))
     s2 = s_acc
     s_acc = v_down(s_acc)
-    disp_o, valid_o = v_up_fused(s_acc)
+    fused_out = v_up_fused(s_acc)
+    disp_o, valid_o = fused_out[0], fused_out[1]
     if _expose_stages is not None:
         # Per-pass roofline instrumentation (eval/roofline.py): the stage
         # closures + real intermediates, so each pallas_call can be timed
@@ -1226,6 +1324,11 @@ def sgm_wta_fused_pallas(
     # The LR-consistency gate runs inside the fused kernel (see
     # _v_fused_kernel): exporting packed winner maps and comparing in XLA
     # cost ~3 ms/frame of [H, W, D]-sweep traffic at KITTI scale.
+    if emit_qr:
+        return (
+            disp_o[:h, :w], valid_o[:h, :w],
+            fused_out[2][:h, :w], fused_out[3][:h, :],
+        )
     if emit_d0:
         return disp_o[:h, :w], valid_o[:h, :w]
     return disp_o[:h, :w], valid_o[:h, :w].astype(bool)

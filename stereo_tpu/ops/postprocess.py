@@ -57,6 +57,142 @@ def right_disparity_from_volume(
     return disp_r
 
 
+def right_view_partial_min(
+    s: jnp.ndarray, cfg: StereoConfig, x_offset=0, image_width=None,
+    src=None,
+) -> jnp.ndarray:
+    """Packed right-view PARTIAL min over in-block anti-diagonals.
+
+    m_r(x) = min over d of S(x+d, d) * PD + d, with lanes masked BIG where
+    the source column x+d leaves the allowed source range (``src``:
+    block-local (lo, hi), default the block's true extent — the stitcher
+    passes the patch's OWNED columns so every frame column is counted by
+    exactly one patch) or the global frame. PD = pow2 >= D, so (value,
+    first-argmin) ride one f32 number — the golden twin of the fused
+    kernel's ``emit_qr`` output (ops/pallas/sgm_kernel.py
+    _v_fused_kernel), bit-identical because all quantities are integers
+    below 2^24. Partials from adjacent column patches min-combine into
+    the frame-exact right-view winner (parallel/bands.py LR stitching).
+
+    Returns [H, W] float32 (BIG where every lane is masked).
+    """
+    import jax
+
+    h, w, d = s.shape
+    if image_width is None:
+        image_width = w
+    lo, hi = src if src is not None else (0, w)
+    pd = 1 << max(0, (d - 1).bit_length())
+    big = jnp.float32(3e38)
+    xs = jnp.arange(w)
+
+    def plane(s_d, dd):
+        idx = jnp.minimum(xs + dd, w - 1)
+        q = jnp.take(s_d, idx, axis=1).astype(jnp.float32) * pd + dd
+        bad = (
+            (xs + dd < lo) | (xs + dd >= hi)
+            | (x_offset + xs + dd >= image_width)
+        )
+        return jnp.where(bad[None, :], big, q)
+
+    q_r = jax.vmap(plane, in_axes=(2, 0), out_axes=2)(s, jnp.arange(d))
+    return jnp.min(q_r, axis=2)
+
+
+def right_view_spill(
+    s: jnp.ndarray, cfg: StereoConfig, x_offset=0, image_width=None,
+    src=None,
+) -> jnp.ndarray:
+    """Packed right-view partial mins at positions LEFT of this block.
+
+    Column j of the [H, SP] result (SP = max(PD, 128)) is
+    min over d of S(j - SP + d, d) * PD + d over THIS block's allowed
+    sources only (``src`` as in right_view_partial_min) — the left-spill
+    companion covering block-local positions [-SP, 0), i.e. this block's
+    contribution to the PREVIOUS column patch's right-view map
+    (parallel/bands.py stitching). Golden twin of the fused kernel's
+    spill output (bit-identical; same masks).
+    """
+    import jax
+
+    h, w, d = s.shape
+    if image_width is None:
+        image_width = w
+    lo, hi = src if src is not None else (0, w)
+    pd = 1 << max(0, (d - 1).bit_length())
+    sp = max(pd, 128)
+    big = jnp.float32(3e38)
+    js = jnp.arange(sp)
+
+    def plane(s_d, dd):
+        srcs = js - sp + dd
+        idx = jnp.clip(srcs, 0, w - 1)
+        q = jnp.take(s_d, idx, axis=1).astype(jnp.float32) * pd + dd
+        bad = (srcs < lo) | (srcs >= hi) | (x_offset + srcs >= image_width)
+        return jnp.where(bad[None, :], big, q)
+
+    q_r = jax.vmap(plane, in_axes=(2, 0), out_axes=2)(s, jnp.arange(d))
+    return jnp.min(q_r, axis=2)
+
+
+def unpack_partial_min(m_r: jnp.ndarray, num_disparities: int) -> jnp.ndarray:
+    """Right-view winner LANE index from a packed (partial) min map.
+
+    Columns where every lane was masked (m_r still BIG) take winner 0 —
+    the fused kernel's convention for all-masked rows.
+    """
+    pd = 1 << max(0, (num_disparities - 1).bit_length())
+    d_r = m_r - jnp.floor(m_r * jnp.float32(1.0 / pd)) * jnp.float32(pd)
+    return jnp.where(m_r < jnp.float32(3e38), d_r, 0.0)
+
+
+def lr_gate_from_right_map(
+    d0: jnp.ndarray,
+    d_r: jnp.ndarray,
+    cfg: StereoConfig,
+    x_offset=0,
+    image_width=None,
+    r_offset=0,
+) -> jnp.ndarray:
+    """LR gate for left winners against an explicit right-view winner map.
+
+    Mirrors the fused kernel's in-kernel check exactly: both maps hold
+    LANE indices (min_disparity excluded); a pixel survives iff
+    |d0 - d_R(x - d0 - md)| <= lr_tau and the correspondence is globally
+    in frame. ``d0`` is [H, Wl] at global origin ``x_offset``; ``d_r`` is
+    [H, Wr] at global origin ``r_offset`` (the stitched full-frame map, or
+    a patch-local partial). Gather-free: one-hot select over D shifted
+    slices (see lr_consistency).
+
+    Returns [H, Wl] bool.
+    """
+    import jax
+
+    h, wl = d0.shape
+    wr = d_r.shape[1]
+    if image_width is None:
+        image_width = x_offset + wl
+    d = cfg.num_disparities
+    md = int(cfg.min_disparity)
+    d0i = d0.astype(jnp.int32)
+    xs = jnp.arange(wl)[None, :]
+    xr_g = x_offset + xs - d0i - md
+    in_frame = (xr_g >= 0) & (xr_g < image_width)
+
+    def plane(dd):
+        idx = jnp.clip(jnp.arange(wl) + x_offset - r_offset - dd - md,
+                       0, wr - 1)
+        return jnp.take(d_r, idx, axis=1)
+
+    stack = jax.vmap(plane, out_axes=2)(jnp.arange(d))       # [H, Wl, D]
+    onehot = d0i[:, :, None] == jnp.arange(d)[None, None, :]
+    d_r_at = jnp.sum(jnp.where(onehot, stack, 0), axis=-1)
+    ok = jnp.abs(d0i.astype(jnp.float32) - d_r_at.astype(jnp.float32)) <= (
+        jnp.float32(cfg.lr_tau)
+    )
+    return ok & in_frame
+
+
 def lr_consistency(
     disp_l: jnp.ndarray, disp_r: jnp.ndarray, cfg: StereoConfig, x_offset=0,
     image_width=None,

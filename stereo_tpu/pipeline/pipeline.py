@@ -258,6 +258,131 @@ def _lr_exact_fused(left, right, cfg: StereoConfig, interpret: bool):
     return StereoResult(disp=disp, valid=ok)
 
 
+class PatchParts(NamedTuple):
+    """Per-column-patch outputs for LR stitching (parallel/bands.py).
+
+    disp: [H, W] f32 final disparity (subpixel + median applied).
+    ok_nolr: [H, W] int32 uniqueness gate (LR excluded).
+    lr_bit: [H, W] int32 patch-local LR verdict (exact away from the
+      patch's column edges; the stitcher replaces it in boundary strips).
+    d0: [H, W] int32 integer winner LANE (min_disparity excluded).
+    qr: [H, W] f32 packed right-view partial min (right_view_partial_min /
+      the fused kernel's emit_qr output) — min-combinable across patches.
+    spill: [H, SP] f32 left-spill partial mins at block-local positions
+      [-SP, 0) (right_view_spill) — this patch's contribution to the
+      PREVIOUS patch's map.
+    """
+
+    disp: jnp.ndarray
+    ok_nolr: jnp.ndarray
+    lr_bit: jnp.ndarray
+    d0: jnp.ndarray
+    qr: jnp.ndarray
+    spill: jnp.ndarray
+
+
+def compute_patch_parts(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoConfig,
+    x_offset: int = 0,
+    image_width: Optional[int] = None,
+    right_context: int = 0,
+    own=None,
+) -> PatchParts:
+    """One column patch of a larger frame, gates left open for stitching.
+
+    The single-chip banded runner (parallel/bands.py) previously paid a
+    halo + D x-overlap per interior column edge so the in-patch LR check
+    could see the full right-view winner; with PatchParts each patch emits
+    its PARTIAL right-view packed min instead and the runner min-combines
+    neighbours in XLA (VERDICT r2 #7). Pallas fast path (emit_qr) on TPU /
+    interpret; golden mirror otherwise — bit-identical composition either
+    way (tests/ops/test_pallas_fused.py).
+
+    ``own``: static block-local (lo, hi) — the column range this patch
+    OWNS; its partial-min outputs draw sources only from it, so the
+    stitcher's min over patches counts every frame column exactly once
+    (and never through a patch's edge-clamped cost fringe). Default: the
+    whole patch.
+    """
+    if not (cfg.lr_check and not cfg.lr_exact and cfg.num_paths > 0):
+        raise ValueError(
+            "compute_patch_parts requires lr_check (re-index mode) + SGM"
+        )
+    if not isinstance(x_offset, int):
+        raise ValueError("compute_patch_parts: static x_offset only")
+    from ..ops.postprocess import (
+        lr_gate_from_right_map,
+        right_view_partial_min,
+        right_view_spill,
+        unpack_partial_min,
+    )
+
+    h, w = left.shape
+    iw = image_width if image_width is not None else x_offset + w
+    mode = _pallas_mode(cfg, None, None)
+    if mode is not None:
+        from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
+
+        kern = _cost_kernel_for(cfg, h, w)
+        if right_context and cfg.cost_fn == "sad":
+            kern = None
+        if kern is not None:
+            kw = (
+                {"out_dtype": _vol_dtype(cfg, h, w)}
+                if cfg.cost_fn in ("census", "rank")
+                else {}
+            )
+            vol, vol_whd = kern(
+                left, right, cfg, x_offset=x_offset, interpret=mode,
+                right_context=right_context, **kw,
+            )
+            disp, packed, qr, spill = sgm_wta_fused_pallas(
+                vol, cfg, cost_whd=vol_whd, true_shape=(h, w),
+                x_offset=x_offset, image_width=iw, interpret=mode,
+                acc_dtype=jnp.int16, image=left, emit_qr=True, qr_src=own,
+            )
+        else:
+            vol = cost_volume(
+                left, right, cfg, x_offset=x_offset,
+                right_context=right_context,
+            )
+            disp, packed, qr, spill = sgm_wta_fused_pallas(
+                vol.astype(_vol_dtype(cfg, h, w)), cfg, x_offset=x_offset,
+                image_width=iw, interpret=mode, acc_dtype=jnp.int16,
+                image=left, emit_qr=True, qr_src=own,
+            )
+        ok_nolr = packed & 1
+        lr_bit = (packed >> 1) & 1
+        d0 = packed >> 2
+    else:
+        s = _aggregate(
+            left, right, cfg, x_offset=x_offset,
+            right_context=right_context,
+        )
+        disp, ok, d_int = wta_with_aux(s, cfg)
+        d0 = d_int - jnp.int32(cfg.min_disparity)
+        ok_nolr = ok.astype(jnp.int32)
+        qr = right_view_partial_min(s, cfg, x_offset, iw, src=own)
+        spill = right_view_spill(s, cfg, x_offset, iw, src=own)
+        d_r = unpack_partial_min(qr, cfg.num_disparities)
+        lr_bit = lr_gate_from_right_map(
+            d0, d_r, cfg, x_offset=x_offset, image_width=iw,
+            r_offset=x_offset,
+        ).astype(jnp.int32)
+    if cfg.median_filter:
+        if mode is not None:
+            from ..ops.pallas.filter_kernel import median_3x3_pallas
+
+            disp = median_3x3_pallas(disp, interpret=mode)
+        else:
+            disp = median_3x3(disp)
+    return PatchParts(
+        disp=disp, ok_nolr=ok_nolr, lr_bit=lr_bit, d0=d0, qr=qr, spill=spill
+    )
+
+
 def compute_disparity(
     left: jnp.ndarray,
     right: jnp.ndarray,

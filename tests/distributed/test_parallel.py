@@ -234,3 +234,79 @@ def test_dplane_cost_sharding_wta_only(mesh42):
     g_disp, g_valid = _golden(pair, cfg)
     np.testing.assert_array_equal(np.array(disp), g_disp)
     np.testing.assert_array_equal(np.array(valid), g_valid)
+
+
+def test_stitched_columns_zero_penalty_bit_identical():
+    """LR stitching (warm-up-only column overlap, VERDICT r2 #7): with
+    P1=P2=0 SGM carries no scan state, so the ONLY banded approximation
+    (warm-up truncation) vanishes and the stitched runner must reproduce
+    the whole-frame pipeline bit for bit — costs frame-true via
+    right_context, the right-view map min-combined from owned-source
+    partials + spills, boundary strips re-gated in XLA."""
+    from stereo_tpu.parallel.bands import build_banded_pipeline
+
+    pair = make_pair((48, 384), max_disp=12, kind="shapes", seed=3)
+    for kw in [
+        dict(num_disparities=16, num_paths=8, p1=0, p2=0),
+        dict(num_disparities=32, num_paths=8, p1=0, p2=0, min_disparity=3,
+             uniqueness_ratio=0.15),
+    ]:
+        cfg = StereoConfig(**kw)
+        g = compute_disparity(pair.left, pair.right, cfg)
+        for n_cols in (2, 3):
+            for backend in ("auto", "pallas_interpret"):
+                fn = build_banded_pipeline(
+                    cfg.replace(backend=backend), (48, 384),
+                    n_bands=2, n_cols=n_cols, lr_stitch=True,
+                )
+                r = fn(pair.left, pair.right)
+                np.testing.assert_array_equal(
+                    np.array(r.disp), np.array(g.disp)
+                )
+                np.testing.assert_array_equal(
+                    np.array(r.valid), np.array(g.valid)
+                )
+
+
+def test_stitched_columns_bounded_error_and_default():
+    """With real penalties the stitched runner is the DEFAULT for
+    census+re-index-LR column patching; its error vs the whole frame stays
+    within the usual warm-up envelope, and golden vs Pallas-interpret
+    patches compose bit-identically."""
+    from stereo_tpu.parallel.bands import build_banded_pipeline
+
+    pair = make_pair((64, 256), max_disp=10, kind="shapes", seed=12)
+    cfg = StereoConfig(num_disparities=16, num_paths=8)
+    g = compute_disparity(pair.left, pair.right, cfg)
+
+    # default (lr_stitch=None) engages stitching for this config
+    fn = build_banded_pipeline(cfg, (64, 256), n_bands=2, n_cols=2)
+    r = fn(pair.left, pair.right)
+    fi = build_banded_pipeline(
+        cfg.replace(backend="pallas_interpret"), (64, 256),
+        n_bands=2, n_cols=2,
+    )
+    ri = fi(pair.left, pair.right)
+    np.testing.assert_array_equal(np.array(r.disp), np.array(ri.disp))
+    np.testing.assert_array_equal(np.array(r.valid), np.array(ri.valid))
+
+    both = np.array(r.valid) & np.array(g.valid)
+    mm = (np.abs(np.array(r.disp) - np.array(g.disp)) > 1)[both].mean()
+    vdiff = (np.array(r.valid) != np.array(g.valid)).mean()
+    assert mm < 0.02, mm
+    assert vdiff < 0.02, vdiff
+
+
+def test_stitched_rejects_unsupported_configs():
+    from stereo_tpu.parallel.bands import build_banded_pipeline
+
+    with pytest.raises(ValueError, match="lr_stitch"):
+        build_banded_pipeline(
+            StereoConfig(num_disparities=16, cost_fn="sad"),
+            (64, 256), n_bands=2, n_cols=2, lr_stitch=True,
+        )
+    with pytest.raises(ValueError, match="lr_stitch"):
+        build_banded_pipeline(
+            StereoConfig(num_disparities=16), (64, 256),
+            n_bands=2, n_cols=1, lr_stitch=True,
+        )

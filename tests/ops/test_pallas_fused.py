@@ -269,3 +269,91 @@ def test_emit_d0_packs_integer_winner():
         (packed >> 1) + cfg.min_disparity, np.array(g_dint)
     )
     np.testing.assert_allclose(np.array(disp), np.array(g_disp), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "kw, own",
+    [
+        (dict(), None),
+        (dict(min_disparity=3, uniqueness_ratio=0.05), None),
+        (dict(), (16, 100)),
+        (dict(min_disparity=2), (8, 120)),
+    ],
+)
+def test_emit_qr_partials_match_golden(kw, own):
+    """emit_qr: the packed right-view partial min, its left-spill, and the
+    unpacked gate bits must each match their golden twins bit-for-bit
+    (ops/postprocess.py right_view_partial_min / right_view_spill /
+    lr_gate_from_right_map), including owned-source-range masking."""
+    from stereo_tpu.ops.postprocess import (
+        lr_gate_from_right_map,
+        right_view_partial_min,
+        right_view_spill,
+        unpack_partial_min,
+    )
+
+    rng = np.random.default_rng(5)
+    h, w, d = 16, 144, 16
+    cost = rng.integers(0, 25, size=(h, w, d)).astype(np.int16)
+    cfg = StereoConfig(
+        num_paths=8, p1=3, p2=20, median_filter=False, lr_check=True, **kw
+    )
+    disp, packed, qr, spill = sgm_wta_fused_pallas(
+        cost, cfg, interpret=True, emit_qr=True, qr_src=own
+    )
+    s = sgm_aggregate(cost.astype(np.int32), cfg)
+    g_qr = right_view_partial_min(s, cfg, src=own)
+    g_spill = right_view_spill(s, cfg, src=own)
+    np.testing.assert_array_equal(np.array(qr), np.array(g_qr))
+    np.testing.assert_array_equal(np.array(spill), np.array(g_spill))
+
+    g_disp, g_ok, g_dint = wta_with_aux(s, cfg)
+    packed = np.array(packed)
+    np.testing.assert_array_equal(packed & 1, np.array(g_ok).astype(int))
+    g_d0 = np.array(g_dint) - cfg.min_disparity
+    np.testing.assert_array_equal(packed >> 2, g_d0)
+    np.testing.assert_allclose(np.array(disp), np.array(g_disp), atol=1e-5)
+    # The in-kernel LR verdict against the (own-masked) patch-local map;
+    # identical to the golden gate away from the wrap region (the first
+    # D + md columns, which the stitcher re-gates anyway).
+    d_r = unpack_partial_min(g_qr, d)
+    g_lr = np.array(
+        lr_gate_from_right_map(g_d0, d_r, cfg, image_width=w)
+    ).astype(int)
+    cut = d + cfg.min_disparity
+    np.testing.assert_array_equal(
+        ((packed >> 1) & 1)[:, cut:], g_lr[:, cut:]
+    )
+
+
+def test_patch_parts_golden_matches_interpret():
+    """compute_patch_parts: the golden and Pallas-interpret paths must emit
+    bit-identical parts (except lr_bit inside the wrap region, which the
+    stitcher replaces) for an interior patch with right-context and an
+    owned source range."""
+    from stereo_tpu.data import make_pair
+    from stereo_tpu.pipeline.pipeline import compute_patch_parts
+
+    pair = make_pair((32, 320), max_disp=12, kind="shapes", seed=9)
+    cfg = StereoConfig(num_disparities=16, num_paths=8)
+    f0, f1, x0, x1 = 142, 250, 160, 240
+    ctx = cfg.num_disparities - 1
+    left = pair.left[:, f0:f1]
+    right = pair.right[:, f0 - ctx:f1]
+    kw = dict(
+        x_offset=f0, image_width=320, right_context=ctx,
+        own=(x0 - f0, x1 - f0),
+    )
+    pg = compute_patch_parts(left, right, cfg, **kw)
+    pi = compute_patch_parts(
+        left, right, cfg.replace(backend="pallas_interpret"), **kw
+    )
+    for name in ("disp", "ok_nolr", "d0", "qr", "spill"):
+        np.testing.assert_array_equal(
+            np.array(getattr(pg, name)), np.array(getattr(pi, name)),
+            err_msg=name,
+        )
+    cut = cfg.num_disparities + cfg.min_disparity
+    np.testing.assert_array_equal(
+        np.array(pg.lr_bit)[:, cut:], np.array(pi.lr_bit)[:, cut:]
+    )
