@@ -195,11 +195,12 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         cfg4 = cfg4.replace(num_disparities=16)
     pair4 = make_pair(shape4, max_disp=12 if quick else 200, kind="shapes",
                       texture="cloud", seed=0)
-    # Full-height columns: no row-band halos (vertical paths exact over the
-    # whole height) and the fewest LR-mandated x-halo recomputes (each
-    # column pays halo + D on interior edges). 2 columns pad to 1792 wide —
-    # under the remote Mosaic helper's ~2944x256 W*D slab ceiling — for
-    # 7.3M padded pixels vs 10.6M with the old 4x3 patching.
+    # Full-height columns: no row-band halos (vertical paths exact over
+    # the whole height). Column overlap is warm-up-halo only: the LR
+    # check is stitched from per-patch right-view partials
+    # (parallel/bands.py lr_stitch, the default here), so no halo + D
+    # x-halo recompute; padded slabs stay well under the remote Mosaic
+    # helper's ~2944x256 W*D ceiling.
     fn4 = build_banded_pipeline(
         cfg4, shape4, n_bands=2 if quick else 1, n_cols=1 if quick else 2
     )

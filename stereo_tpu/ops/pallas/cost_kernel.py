@@ -132,6 +132,91 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
         out_t_ref[:] = jnp.concatenate(rows_t, axis=1)
 
 
+def _cost_kernel_x(b_ref, cl_ref, crv_cur_ref, crv_nxt_ref, out_ref,
+                   out_t_ref, *, xc, d, bh, maxc, interpret, emit_t,
+                   words=1, combine="hamming", margin=False, k_rev=1):
+    """x-major fan-out: one [XC, D] cost tile per row, near-zero transposes.
+
+    The d-major kernel (_cost_kernel) builds [D, XC] tiles (sublane = d)
+    and pays a [128, 128] transpose per ROW to emit the lane = d layouts
+    downstream SGM consumes — the cost pass's dominant non-counted op
+    (roofline: 0.45 TOPS vs the 1.5+ of the scan passes). Here the tile
+    is [XC, D] (sublane = x, lane = d) DIRECTLY:
+
+      cost(x, d) = combine(left(x), right(x - d))
+
+    needs per sublane x a lane series right[x - d] — the lane index with
+    NEGATIVE sign, which one strided roll provides once the right
+    descriptor row is pre-REVERSED in XLA (an [H, W] pass, not
+    [H, W, D]): with ctxr[u] = r[base - u],
+    B[x', l] = ctxr[XC - 1 - x' + l] = roll(ctxr, CW - XC + 1,
+    stride=1 per sublane)[x', l]. The left descriptor transposes ONCE
+    per block·word ([BH, XC] -> [XC, BH], 1/BH-th of the old transposed
+    bytes) so each row's column is a static [XC, 1] lane-broadcast.
+    Both output layouts then assemble by pure concatenation.
+
+    crv refs are chunks of the reversed (margin+padded) right plane:
+    cur = reversed chunk K-1-(j+mj), nxt = its successor (holding the
+    x-chunk LEFT of this block; aliases clamped when j+mj = 0 — the
+    first-block column-0 clamp, as in _cost_kernel). ``k_rev`` = total
+    reversed chunks (for bounds documentation only).
+    """
+    del k_rev
+    j = pl.program_id(1)
+    sub_x = jax.lax.broadcasted_iota(jnp.int32, (xc, d), 0)
+    lane_d = jax.lax.broadcasted_iota(jnp.int32, (xc, d), 1)
+    invalid = (b_ref[4] + j * xc + sub_x) < lane_d
+
+    is_first = j == 0
+    cw = 2 * xc + (-(2 * xc) % 128)
+    off = (cw - xc + 1) % cw
+    ctxs = []
+    for k in range(words):
+        cur = crv_cur_ref[k]                                    # [BH, XC]
+        nxt = crv_nxt_ref[k]
+        if margin:
+            parts = [cur, nxt]
+        else:
+            # First block: context left of the frame clamps to column 0
+            # (= reversed-cur's LAST lane), matching the golden
+            # _shifted_stack clamp.
+            clamp = jnp.broadcast_to(cur[:, xc - 1:], nxt.shape)
+            parts = [cur, jnp.where(is_first, clamp, nxt)]
+        if cw > 2 * xc:
+            parts.append(jnp.zeros((bh, cw - 2 * xc), cur.dtype))
+        ctxs.append(jnp.concatenate(parts, axis=1))             # [BH, CW]
+    clts = [cl_ref[k].T for k in range(words)]                  # [XC, BH]
+
+    rows = []
+    rows_t = []
+    for r in range(bh):
+        pc = jnp.zeros((xc, d), jnp.int32)
+        for k in range(words):
+            ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (xc, cw))
+            if interpret:
+                u = jax.lax.broadcasted_iota(jnp.int32, (xc, cw), 1)
+                s = jax.lax.broadcasted_iota(jnp.int32, (xc, cw), 0)
+                shifted = jnp.take_along_axis(
+                    ctx_row, (u - off - s) % cw, axis=1
+                )
+            else:
+                shifted = pltpu.roll(ctx_row, off, 1, stride=1,
+                                     stride_axis=0)
+            b = shifted[:, :d]                                  # [XC, D]
+            clc = jnp.broadcast_to(clts[k][:, r : r + 1], (xc, d))
+            if combine == "hamming":
+                pc = pc + _popcount(jnp.bitwise_xor(clc, b))
+            else:  # absdiff (rank descriptors, int32)
+                pc = pc + jnp.abs(clc - b)
+        pc = jnp.where(invalid, maxc, pc).astype(out_ref.dtype)
+        rows.append(pc[None])                                   # [1, XC, D]
+        if emit_t:
+            rows_t.append(pc[:, None, :])                       # [XC, 1, D]
+    out_ref[:] = jnp.concatenate(rows, axis=0)
+    if emit_t:
+        out_t_ref[:] = jnp.concatenate(rows_t, axis=1)
+
+
 def _roll_cost_volume(
     cl: jnp.ndarray,
     cr: jnp.ndarray,
@@ -204,6 +289,63 @@ def _roll_cost_volume(
     cr = jnp.pad(cr, ((0, 0), (0, hp - h), (0, wp - w)))
     grid = (hp // bh, wp // xc)
 
+    bounds = jnp.stack(
+        [jnp.asarray(v) for v in (0, h, 0, w, x_offset)]
+    ).astype(jnp.int32)
+
+    if d >= 128:
+        # x-major fan-out (see _cost_kernel_x): no per-row transposes.
+        # The right plane reverses in XLA ([H, W]-scale, not [H, W, D]).
+        crv = cr[:, :, ::-1]
+        k_rev = (mj * xc + wp) // xc
+        im_cur = lambda i, j: (0, i, k_rev - 1 - (j + mj))
+        im_nxt = lambda i, j: (
+            0, i, jnp.minimum(k_rev - (j + mj), k_rev - 1)
+        )
+        out_shapes = [jax.ShapeDtypeStruct((hp, wp, d), out_dtype)]
+        out_specs = [
+            pl.BlockSpec((bh, xc, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        if emit_transposed:
+            out_shapes.append(jax.ShapeDtypeStruct((wp, hp, d), out_dtype))
+            out_specs.append(
+                pl.BlockSpec((xc, bh, d), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        kernel = functools.partial(
+            _cost_kernel_x, xc=xc, d=d, bh=bh, maxc=maxc,
+            interpret=interpret, emit_t=emit_transposed, words=words,
+            combine=combine, margin=mj > 0, k_rev=k_rev,
+        )
+        if not emit_transposed:
+            kernel = functools.partial(
+                lambda b_r, cl_r, cc_r, cn_r, o_r, **kw: _cost_kernel_x(
+                    b_r, cl_r, cc_r, cn_r, o_r, None, **kw
+                ),
+                xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret,
+                emit_t=False, words=words, combine=combine, margin=mj > 0,
+                k_rev=k_rev,
+            )
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((words, bh, xc), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((words, bh, xc), im_cur,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((words, bh, xc), im_nxt,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=_VMEM_PARAMS,
+            interpret=interpret,
+        )(bounds, cl, crv, crv)
+        return outs[0], (outs[1] if emit_transposed else None)
+
     im = lambda i, j: (0, i, j)
     im_r = lambda i, j: (0, i, j + mj)
     im_prev = lambda i, j: (0, i, jnp.maximum(j + mj - 1, 0))
@@ -233,9 +375,6 @@ def _roll_cost_volume(
             words=words, combine=combine, margin=mj > 0,
         )
 
-    bounds = jnp.stack(
-        [jnp.asarray(v) for v in (0, h, 0, w, x_offset)]
-    ).astype(jnp.int32)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -225,7 +225,10 @@ def _build_stitched(
             full = maps[0]
             for m in maps[1:]:
                 full = jnp.minimum(full, m)
-            d_r = unpack_partial_min(full, d)
+            # int16 winner map: the strip re-gate's one-hot select sweeps
+            # a [rows, strip, D] slab of this — winners < 2*D fit int16,
+            # halving the sweep's HBM traffic (values exact).
+            d_r = unpack_partial_min(full, d).astype(jnp.int16)
             for xe in edges:
                 a, bb = max(0, xe - reach), min(w, xe + reach)
                 g = lr_gate_from_right_map(
