@@ -28,7 +28,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import StereoConfig, TileConfig
 from ..pipeline.pipeline import StereoResult
-from .tiling import _halo_widths, make_tile_fn, padded_extent, shard_map
+from .tiling import (
+    _halo_widths,
+    make_stitched_tile_fn,
+    make_tile_fn,
+    padded_extent,
+    shard_map,
+    stitch_supported,
+)
 
 
 def build_stream_pipeline(
@@ -62,10 +69,19 @@ def build_stream_pipeline(
     hp, wp = padded_extent(h, ty), padded_extent(w, tx)
     bh, bw = hp // ty, wp // tx
     halo_y, halo_x_lo, halo_x_hi = _halo_widths(cfg, tile_cfg)
-    tile_fn = make_tile_fn(
-        cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi,
-        trivial=(ty == 1 and tx == 1 and (hp, wp) == (h, w)),
-    )
+    trivial = ty == 1 and tx == 1 and (hp, wp) == (h, w)
+    if not trivial and tx > 1 and stitch_supported(cfg, bw):
+        # Warm-up-only x-overlap + cross-tile LR stitching (see
+        # tiling.make_stitched_tile_fn) — same error model, ~2D fewer
+        # overlap columns per tile along 'tx'.
+        tile_fn = make_stitched_tile_fn(
+            cfg, h, w, bh, bw, tile_cfg.resolved_halo(cfg)
+        )
+    else:
+        tile_fn = make_tile_fn(
+            cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi,
+            trivial=trivial,
+        )
 
     def batched(left, right):
         if left.shape[1:] != (h, w):

@@ -289,6 +289,9 @@ def compute_patch_parts(
     image_width: Optional[int] = None,
     right_context: int = 0,
     own=None,
+    valid: Optional[jnp.ndarray] = None,
+    y_offset=0,
+    image_height: Optional[int] = None,
 ) -> PatchParts:
     """One column patch of a larger frame, gates left open for stitching.
 
@@ -305,13 +308,23 @@ def compute_patch_parts(
     stitcher's min over patches counts every frame column exactly once
     (and never through a patch's edge-clamped cost fringe). Default: the
     whole patch.
+
+    ``image_height`` declares this a RECTANGULAR tile of a larger frame
+    (parallel/tiling.py stitched halo mode): ``x_offset``/``y_offset``
+    may then be traced shard_map tile origins, ``valid`` (if given) must
+    be exactly the in-frame rectangle, and the fused kernels run with
+    traced frame bounds — mirroring compute_disparity's rect path.
     """
     if not (cfg.lr_check and not cfg.lr_exact and cfg.num_paths > 0):
         raise ValueError(
             "compute_patch_parts requires lr_check (re-index mode) + SGM"
         )
-    if not isinstance(x_offset, int):
-        raise ValueError("compute_patch_parts: static x_offset only")
+    rect = image_height is not None
+    if not rect and not isinstance(x_offset, int):
+        raise ValueError(
+            "compute_patch_parts: static x_offset only (pass image_height "
+            "for traced rect-tile origins)"
+        )
     from ..ops.postprocess import (
         lr_gate_from_right_map,
         right_view_partial_min,
@@ -321,13 +334,26 @@ def compute_patch_parts(
 
     h, w = left.shape
     iw = image_width if image_width is not None else x_offset + w
-    mode = _pallas_mode(cfg, None, None)
+    mode = _pallas_mode(cfg, valid, None, rect=rect)
     if mode is not None:
-        from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
+        from ..ops.pallas.sgm_kernel import frame_bounds, sgm_wta_fused_pallas
 
+        bounds = (
+            frame_bounds(
+                h, w, x_offset=x_offset, y_offset=y_offset,
+                image_width=iw, image_height=image_height,
+            )
+            if rect
+            else None
+        )
         kern = _cost_kernel_for(cfg, h, w)
         if right_context and cfg.cost_fn == "sad":
             kern = None
+        fkw = dict(
+            image_width=iw, interpret=mode, acc_dtype=jnp.int16,
+            image=left, emit_qr=True, qr_src=own, bounds=bounds,
+            x_offset=0 if rect else x_offset,
+        )
         if kern is not None:
             kw = (
                 {"out_dtype": _vol_dtype(cfg, h, w)}
@@ -339,9 +365,7 @@ def compute_patch_parts(
                 right_context=right_context, **kw,
             )
             disp, packed, qr, spill = sgm_wta_fused_pallas(
-                vol, cfg, cost_whd=vol_whd, true_shape=(h, w),
-                x_offset=x_offset, image_width=iw, interpret=mode,
-                acc_dtype=jnp.int16, image=left, emit_qr=True, qr_src=own,
+                vol, cfg, cost_whd=vol_whd, true_shape=(h, w), **fkw,
             )
         else:
             vol = cost_volume(
@@ -349,16 +373,19 @@ def compute_patch_parts(
                 right_context=right_context,
             )
             disp, packed, qr, spill = sgm_wta_fused_pallas(
-                vol.astype(_vol_dtype(cfg, h, w)), cfg, x_offset=x_offset,
-                image_width=iw, interpret=mode, acc_dtype=jnp.int16,
-                image=left, emit_qr=True, qr_src=own,
+                vol.astype(_vol_dtype(cfg, h, w)), cfg, **fkw,
             )
         ok_nolr = packed & 1
         lr_bit = (packed >> 1) & 1
         d0 = packed >> 2
     else:
+        if rect and valid is None:
+            ih = image_height
+            ys = y_offset + jnp.arange(h)[:, None]
+            xs = x_offset + jnp.arange(w)[None, :]
+            valid = (ys >= 0) & (ys < ih) & (xs >= 0) & (xs < iw)
         s = _aggregate(
-            left, right, cfg, x_offset=x_offset,
+            left, right, cfg, valid=valid, x_offset=x_offset,
             right_context=right_context,
         )
         disp, ok, d_int = wta_with_aux(s, cfg)

@@ -310,3 +310,46 @@ def test_stitched_rejects_unsupported_configs():
             StereoConfig(num_disparities=16), (64, 256),
             n_bands=2, n_cols=1, lr_stitch=True,
         )
+
+
+def test_stitched_tiles_zero_penalty_bit_identical(mesh42):
+    """Tiled LR stitching (tiling.make_stitched_tile_fn): with P1=P2=0 the
+    warm-up approximation vanishes and the stitched halo pipeline must be
+    bit-identical to the untiled pipeline — owned-source partials + spills
+    exchanged over 'tx' reassemble the exact right-view map."""
+    pair = make_pair((48, 256), max_disp=12, kind="shapes", seed=3)
+    for kw in [
+        dict(num_disparities=16, num_paths=8, p1=0, p2=0),
+        dict(num_disparities=32, num_paths=8, p1=0, p2=0, min_disparity=3,
+             uniqueness_ratio=0.15),
+    ]:
+        cfg = StereoConfig(**kw)
+        g_disp, g_valid = _golden(pair, cfg)
+        for backend in ("auto", "pallas_interpret"):
+            fn = build_halo_pipeline(
+                cfg.replace(backend=backend), mesh42, lr_stitch=True
+            )
+            r = fn(pair.left, pair.right)
+            np.testing.assert_array_equal(np.array(r.disp), g_disp)
+            np.testing.assert_array_equal(np.array(r.valid), g_valid)
+
+
+def test_stitched_tiles_default_and_bounded_error(mesh42):
+    """The stitched regime is the DEFAULT for census + re-index-LR tile
+    grids; its error vs the untiled pipeline stays within the legacy
+    halo mode's envelope."""
+    pair = make_pair((48, 256), max_disp=12, kind="shapes", seed=7)
+    cfg = StereoConfig(num_disparities=16, num_paths=8)
+    g_disp, g_valid = _golden(pair, cfg)
+    r = build_halo_pipeline(cfg, mesh42)(pair.left, pair.right)
+    both = np.array(r.valid) & g_valid
+    mm = (np.abs(np.array(r.disp) - g_disp) > 1)[both].mean()
+    vdiff = (np.array(r.valid) != g_valid).mean()
+    assert mm < 0.02, mm
+    assert vdiff < 0.02, vdiff
+    # unsupported configs raise when forced
+    with pytest.raises(ValueError, match="lr_stitch"):
+        build_halo_pipeline(
+            StereoConfig(num_disparities=16, cost_fn="sad"), mesh42,
+            lr_stitch=True,
+        )(pair.left, pair.right)
