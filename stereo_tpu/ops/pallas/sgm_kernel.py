@@ -904,9 +904,14 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
         # Left-spill keep mask: exactly the wrapped entries of the shift
         # pyramid (source column s = x + lane - W), same owned-range and
         # global-frame restrictions as the main map's unwrapped sources.
-        sw = src - w
+        # Only rows [W - k, W) can wrap (lane < D), so the mask and the
+        # per-row lane-min below run on that slice, not the full [W, D]
+        # matrix (~W/SP x less spill work on wide blocks).
+        k_sp = min(w, sp_w)
+        src_s = src[w - k_sp:]
+        sw = src_s - w
         wrap_keep = (
-            (src >= w)
+            (src_s >= w)
             & (sw >= own_lo)
             & (sw < own_hi if own_hi is not None else sw < x_hi)
             & (x0 + sw < image_width)
@@ -1010,16 +1015,16 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
             # boundary strips and with lr_bit elsewhere.
             valid_cols[r] = ok + 2 * lr_bit + 4 * d0.astype(jnp.int32)
             qr_cols[r] = m_r
-            m_sp = jnp.min(
-                jnp.where(wrap_keep, q_rr, BIG), axis=1, keepdims=True
+            spc = jnp.min(
+                jnp.where(wrap_keep, q_rr[w - k_sp:], BIG),
+                axis=1, keepdims=True,
             )
             # Blocks narrower than SP emit BIG for positions < -W (no
             # in-block source can reach them; golden twin agrees).
-            k = min(w, sp_w)
-            spc = m_sp[w - k:]
-            if k < sp_w:
+            if k_sp < sp_w:
                 spc = jnp.concatenate(
-                    [jnp.full((sp_w - k, 1), BIG, jnp.float32), spc], axis=0
+                    [jnp.full((sp_w - k_sp, 1), BIG, jnp.float32), spc],
+                    axis=0,
                 )
             spill_cols[r] = spc
         elif emit_d0:
