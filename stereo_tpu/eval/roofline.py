@@ -230,11 +230,18 @@ def per_pass_report(
     # the cost volume once; S is written (h_fwd), read+written (h_rev RMW,
     # v_down RMW), read (v_up); the cost kernel reads two u8 images and
     # writes BOTH volume layouts; v_up also writes f32 disp + i32 valid.
+    # Small-D configs (hwd False) run an XLA (H,W,D)<->(W,H,D) transpose
+    # between h_rev and v_down; prefix differencing lands its time in the
+    # v_down diff, so model its HBM round trip in that row's byte bound
+    # (and flag it) rather than misreport v_down as far from bound.
+    t_xpose = 0 if hwd else 2 * nvox * ai
     stage_list = [
         ("cost", 2 * h * w + 2 * nvox * ci, OPS_PER_VOX["cost"] * nvox),
         ("h_fwd", nvox * ci + nvox * ai, OPS_PER_VOX["h_fwd"] * nvox),
         ("h_rev", nvox * ci + 2 * nvox * ai, OPS_PER_VOX["h_rev"] * nvox),
-        ("v_down", nvox * ci + 2 * nvox * ai, OPS_PER_VOX["v_down"] * nvox),
+        ("v_down" if hwd else "v_down+xla_transpose",
+         nvox * ci + 2 * nvox * ai + t_xpose,
+         OPS_PER_VOX["v_down"] * nvox),
         (
             "v_up_fused",
             nvox * ci + nvox * ai + 8 * hp * wp,

@@ -44,6 +44,7 @@ def build_stream_pipeline(
     image_shape: Tuple[int, int],
     tile_cfg: Optional[TileConfig] = None,
     donate: bool = False,
+    lr_stitch: Optional[bool] = None,
 ):
     """Jitted ``(left [B,H,W], right [B,H,W]) -> StereoResult [B,H,W]``.
 
@@ -70,7 +71,16 @@ def build_stream_pipeline(
     bh, bw = hp // ty, wp // tx
     halo_y, halo_x_lo, halo_x_hi = _halo_widths(cfg, tile_cfg)
     trivial = ty == 1 and tx == 1 and (hp, wp) == (h, w)
-    if not trivial and tx > 1 and stitch_supported(cfg, bw):
+    stitch = lr_stitch
+    if stitch is None:
+        stitch = not trivial and tx > 1 and stitch_supported(cfg, bw)
+    elif stitch and (trivial or not stitch_supported(cfg, bw)):
+        raise ValueError(
+            "lr_stitch needs a non-trivial tile grid with tx > 1, the "
+            "cheap-LR re-index, SGM paths, a census/rank cost, and tiles "
+            "at least D + min_disparity wide"
+        )
+    if stitch:
         # Warm-up-only x-overlap + cross-tile LR stitching (see
         # tiling.make_stitched_tile_fn) — same error model, ~2D fewer
         # overlap columns per tile along 'tx'.
@@ -139,6 +149,7 @@ class StreamRunner:
         batch_size: Optional[int] = None,
         tile_cfg: Optional[TileConfig] = None,
         manifest_path: Optional[str] = None,
+        lr_stitch: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -147,7 +158,9 @@ class StreamRunner:
         if self.batch % mesh.shape["batch"]:
             raise ValueError("batch_size must divide the 'batch' mesh axis")
         self.manifest_path = manifest_path
-        self.pipeline = build_stream_pipeline(cfg, mesh, image_shape, tile_cfg)
+        self.pipeline = build_stream_pipeline(
+            cfg, mesh, image_shape, tile_cfg, lr_stitch=lr_stitch
+        )
         self.frames_done = 0
         self.elapsed = 0.0
         if manifest_path and os.path.exists(manifest_path):
@@ -208,6 +221,7 @@ class StreamRunner:
 
         to_skip = self.frames_done
         n_this_run = 0
+        last_ckpt = 0
         t0 = time.perf_counter()
         for left, right in batches:
             if left.shape[0] != self.batch:
@@ -228,7 +242,11 @@ class StreamRunner:
             n_this_run += left.shape[0]
             while len(pending) > 2:
                 drain_one()
-            if checkpoint_every and n_this_run % checkpoint_every == 0:
+            # >=, not modulo: batch sizes that don't divide
+            # checkpoint_every would otherwise postpone the first
+            # checkpoint to lcm(batch, checkpoint_every) frames.
+            if checkpoint_every and n_this_run - last_ckpt >= checkpoint_every:
+                last_ckpt = n_this_run
                 while pending:
                     drain_one()
                 self.elapsed += time.perf_counter() - t0

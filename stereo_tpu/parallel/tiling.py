@@ -294,14 +294,24 @@ def make_stitched_tile_fn(
         # lookup reach).
         k = reach - halo
         nh = min(halo, bw + reach)  # next-head columns inside the map
+        # Spill columns that can be non-BIG: positions below -SP have no
+        # in-tile source (sources reach at most D-1 right of a position
+        # and SP >= D), so when k > SP (large min_disparity vs halo) the
+        # leading k - SP map columns are prev-tile-only and start BIG.
+        ke = min(k, sp)
         prev_tail = from_prev(qr[:, halo + bw - reach : halo + bw])
         next_head = from_next(qr[:, halo - nh : halo])
         if k > 0:
+            lead = (
+                [jnp.full((qr.shape[0], k - ke), big, jnp.float32)]
+                if k > ke
+                else []
+            )
             emap = jnp.concatenate(
-                [spill[:, sp - k:], qr[:, : bw + halo]], axis=1
+                lead + [spill[:, sp - ke:], qr[:, : bw + halo]], axis=1
             )                                      # [bh, bw + reach]
-            next_spill = from_next(spill[:, sp - k:])
-            emap = emap.at[:, bw : bw + k].min(next_spill)
+            next_spill = from_next(spill[:, sp - ke:])
+            emap = emap.at[:, bw + k - ke : bw + k].min(next_spill)
         else:
             emap = qr[:, -k : bw + halo]
         emap = emap.at[:, :reach].min(prev_tail)

@@ -119,6 +119,25 @@ def _vol_dtype(cfg: StereoConfig, h: int, w: int):
     return jnp.int16
 
 
+def _cost_kern_kw(cfg: StereoConfig, h: int, w: int, right_context: int = 0):
+    """(Pallas cost kernel or None, dtype kwargs) for the fused paths.
+
+    One definition for the dispatch rule shared by compute_disparity,
+    _fused_view and compute_patch_parts: SAD has no context path (falls
+    back to the golden volume), census/rank kernels take the narrowest
+    tileable volume dtype.
+    """
+    kern = _cost_kernel_for(cfg, h, w)
+    if right_context and cfg.cost_fn == "sad":
+        kern = None
+    kw = (
+        {"out_dtype": _vol_dtype(cfg, h, w)}
+        if cfg.cost_fn in ("census", "rank")
+        else {}
+    )
+    return kern, kw
+
+
 def _build_cost(left, right, cfg: StereoConfig, valid, constrain, x_offset,
                 right_context=0):
     """[H, W, D] cost volume; Pallas kernels where they apply.
@@ -205,13 +224,8 @@ def _fused_view(
     from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
 
     th, tw = ref.shape
-    kern = _cost_kernel_for(cfg, th, tw)
+    kern, kw = _cost_kern_kw(cfg, th, tw)
     if kern is not None:
-        kw = (
-            {"out_dtype": _vol_dtype(cfg, th, tw)}
-            if cfg.cost_fn in ("census", "rank")
-            else {}
-        )
         vol, vol_whd = kern(ref, tgt, cfg, x_offset=0, interpret=interpret, **kw)
         return sgm_wta_fused_pallas(
             vol, cfg, cost_whd=vol_whd, true_shape=(th, tw),
@@ -346,20 +360,13 @@ def compute_patch_parts(
             if rect
             else None
         )
-        kern = _cost_kernel_for(cfg, h, w)
-        if right_context and cfg.cost_fn == "sad":
-            kern = None
+        kern, kw = _cost_kern_kw(cfg, h, w, right_context)
         fkw = dict(
             image_width=iw, interpret=mode, acc_dtype=jnp.int16,
             image=left, emit_qr=True, qr_src=own, bounds=bounds,
             x_offset=0 if rect else x_offset,
         )
         if kern is not None:
-            kw = (
-                {"out_dtype": _vol_dtype(cfg, h, w)}
-                if cfg.cost_fn in ("census", "rank")
-                else {}
-            )
             vol, vol_whd = kern(
                 left, right, cfg, x_offset=x_offset, interpret=mode,
                 right_context=right_context, **kw,
@@ -504,20 +511,17 @@ def compute_disparity(
         else:
             iw = image_width
             bounds = None
-        cost_kernel = _cost_kernel_for(cfg, th, tw) if (static_off or rect) else None
-        if right_context and cfg.cost_fn == "sad":
-            cost_kernel = None  # fused SAD has no context path; golden does
+        cost_kernel, kw = (
+            _cost_kern_kw(cfg, th, tw, right_context)
+            if (static_off or rect)
+            else (None, {})
+        )
         if cost_kernel is not None:
             # Pallas cost kernels emit the padded volume (census/rank also
             # the transposed layout feeding the horizontal SGM passes
             # directly). Static patch origins (parallel/bands.py) and
             # traced tile origins (parallel/tiling.py) thread straight
             # into the kernels.
-            kw = (
-                {"out_dtype": _vol_dtype(cfg, th, tw)}
-                if cfg.cost_fn in ("census", "rank")
-                else {}
-            )
             vol, vol_whd = cost_kernel(
                 left, right, cfg, x_offset=x_offset, interpret=interpret,
                 right_context=right_context, **kw,

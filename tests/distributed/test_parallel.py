@@ -353,3 +353,21 @@ def test_stitched_tiles_default_and_bounded_error(mesh42):
             StereoConfig(num_disparities=16, cost_fn="sad"), mesh42,
             lr_stitch=True,
         )(pair.left, pair.right)
+
+
+def test_stitched_tiles_large_min_disparity(mesh42):
+    """Regression (round-3 review): reach - halo exceeding the spill width
+    SP used to slice the spill wrongly and crash at trace time; positions
+    below -SP have no in-tile source, so the map's leading columns are
+    prev-tile-only and must start BIG."""
+    from stereo_tpu import TileConfig
+
+    pair = make_pair((32, 384), max_disp=4, kind="shapes", seed=1)
+    cfg = StereoConfig(num_disparities=16, num_paths=8, min_disparity=120,
+                       p1=0, p2=0)
+    tile_cfg = TileConfig(mesh_shape=(4, 2), halo=4)
+    g_disp, g_valid = _golden(pair, cfg)
+    fn = build_halo_pipeline(cfg, mesh42, tile_cfg, lr_stitch=True)
+    r = fn(pair.left, pair.right)
+    np.testing.assert_array_equal(np.array(r.disp), g_disp)
+    np.testing.assert_array_equal(np.array(r.valid), g_valid)

@@ -202,3 +202,33 @@ def test_runner_fault_inject_and_resume(tmp_path, mesh_b2):
     stats = r2.run(frames, on_result=lambda r: done.append(r.disp.shape[0]))
     assert stats["frames"] == 8
     assert sum(done) == 8
+
+
+def test_run_batches_checkpoint_cadence(tmp_path, mesh_b2):
+    """Regression (round-3 review): checkpoint_every fired only when the
+    frame count hit an exact multiple, so batch sizes that don't divide it
+    postponed the first checkpoint to lcm(batch, checkpoint_every)."""
+    from stereo_tpu.parallel.stream import StreamRunner
+
+    manifest = str(tmp_path / "m.json")
+    runner = StreamRunner(CFG, mesh_b2, SHAPE, batch_size=2,
+                          manifest_path=manifest)
+    ckpts = []
+    orig = runner._checkpoint
+
+    def spy():
+        ckpts.append(runner.frames_done)
+        orig()
+
+    runner._checkpoint = spy
+    frames = _frames(12, seed=51)
+    batches = [
+        (np.stack([f[0] for f in frames[i : i + 2]]),
+         np.stack([f[1] for f in frames[i : i + 2]]))
+        for i in range(0, 12, 2)
+    ]
+    runner.run_batches(batches, checkpoint_every=3)
+    # 12 frames in 2-frame batches, cadence 3: checkpoints at >=4 and >=8
+    # frames plus the final one — NOT only at the end.
+    assert len(ckpts) >= 3, ckpts
+    assert ckpts[0] <= 4, ckpts

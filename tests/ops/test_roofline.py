@@ -16,8 +16,11 @@ def test_per_pass_report_rows():
         cfg, shape=(48, 96), iters=2, vpu_peak=1e12, interpret=True
     )
     names = [r["pass"] for r in rows]
+    # D=16 < 128: the XLA transpose between the pass families lands in
+    # the v_down prefix difference, and the row says so (round-3 review).
     assert names == [
-        "cost", "h_fwd", "h_rev", "v_down", "v_up_fused", "TOTAL(chain)",
+        "cost", "h_fwd", "h_rev", "v_down+xla_transpose", "v_up_fused",
+        "TOTAL(chain)",
     ]
     for r in rows[:-1]:
         assert r["bytes_mb"] > 0
@@ -28,7 +31,8 @@ def test_per_pass_report_rows():
     # model must be monotone with the pass's traffic structure
     by = {r["pass"]: r for r in rows[:-1]}
     assert by["h_rev"]["bytes_mb"] > by["h_fwd"]["bytes_mb"]
-    assert by["v_down"]["bytes_mb"] == by["h_rev"]["bytes_mb"]
+    # small-D v_down row also carries the modeled transpose round trip
+    assert by["v_down+xla_transpose"]["bytes_mb"] > by["h_rev"]["bytes_mb"]
 
 
 def test_ops_table_covers_every_pass():
