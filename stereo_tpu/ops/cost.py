@@ -26,9 +26,14 @@ from .census import census_transform, hamming_distance, rank_transform
 
 
 def _shifted_stack(
-    x: jnp.ndarray, num_disparities: int, ctx: int = 0
+    x: jnp.ndarray, num_disparities: int, ctx: int = 0, min_disparity: int = 0
 ) -> jnp.ndarray:
-    """Stack right-view quantity shifted by d = 0..D-1 along a new last axis.
+    """Stack right-view samples for lanes d = 0..D-1 along a new last axis.
+
+    Lane d searches disparity ``min_disparity + d`` (the reported winner
+    is lane + min_disparity, ops/wta.py — round-3 review: the volume
+    previously ignored min_disparity, so every md != 0 output was the
+    md = 0 winner relabeled +md).
 
     Args:
       x: [H, W + ctx, ...] per-pixel quantity from the right view. The
@@ -37,30 +42,34 @@ def _shifted_stack(
         true neighbours so interior costs stay frame-exact without running
         the downstream SGM over them).
     Returns:
-      [H, W, D, ...] where out[y, x, d] = in[y, x + ctx - d], with the
-      index clamped to 0 (the caller masks the globally invalid region).
+      [H, W, D, ...] where out[y, x, d] = in[y, x + ctx - md - d], with
+      the index clamped to 0 (the caller masks the globally invalid
+      region).
     """
     h, wc = x.shape[:2]
     w = wc - ctx
     d = num_disparities
+    md = min_disparity
 
     def take(shift):
-        idx = jnp.maximum(jnp.arange(w) + ctx - shift, 0)
+        idx = jnp.maximum(jnp.arange(w) + ctx - md - shift, 0)
         return jnp.take(x, idx, axis=1)
 
     stacked = jax.vmap(take, out_axes=2)(jnp.arange(d))
     return stacked
 
 
-def _invalid_mask(h: int, w: int, num_disparities: int, x_offset=0) -> jnp.ndarray:
-    """[H, W, D] bool, True where global x - d < 0 (no right-image sample).
+def _invalid_mask(
+    h: int, w: int, num_disparities: int, x_offset=0, min_disparity: int = 0
+) -> jnp.ndarray:
+    """[H, W, D] bool, True where global x - md - d < 0 (no right sample).
 
     ``x_offset`` is this block's global x origin — 0 for whole images; tiled
     runs (parallel/tiling.py) pass the tile origin (possibly a traced scalar)
     so border invalidation matches the untiled pipeline bit-exactly.
     """
     xs = x_offset + jnp.arange(w)[None, :, None]
-    ds = jnp.arange(num_disparities)[None, None, :]
+    ds = min_disparity + jnp.arange(num_disparities)[None, None, :]
     return jnp.broadcast_to(xs < ds, (h, w, num_disparities))
 
 
@@ -106,11 +115,13 @@ def sad_cost_volume(
     d = cfg.num_disparities
     l32 = left.astype(jnp.int32)
     r32 = right.astype(jnp.int32)
-    r_stack = _shifted_stack(r32, d, right_context)        # [H, W, D]
+    r_stack = _shifted_stack(
+        r32, d, right_context, int(cfg.min_disparity)
+    )                                                      # [H, W, D]
     ad = jnp.abs(l32[:, :, None] - r_stack)                # [H, W, D]
     area = cfg.sad_window[0] * cfg.sad_window[1]
     summed = box_sum(ad, cfg.sad_window) // area           # [H, W, D]
-    invalid = _invalid_mask(h, w, d, x_offset)
+    invalid = _invalid_mask(h, w, d, x_offset, int(cfg.min_disparity))
     return jnp.where(invalid, jnp.int32(cfg.max_unary_cost), summed)
 
 
@@ -131,9 +142,11 @@ def census_cost_volume(
     d = cfg.num_disparities
     cl = census_transform(left, cfg.census_window)         # [H, W, words]
     cr = census_transform(right, cfg.census_window)
-    cr_stack = _shifted_stack(cr, d, right_context)        # [H, W, D, words]
+    cr_stack = _shifted_stack(
+        cr, d, right_context, int(cfg.min_disparity)
+    )                                                      # [H, W, D, words]
     cost = hamming_distance(cl[:, :, None, :], cr_stack)   # [H, W, D]
-    invalid = _invalid_mask(h, w, d, x_offset)
+    invalid = _invalid_mask(h, w, d, x_offset, int(cfg.min_disparity))
     return jnp.where(invalid, jnp.int32(cfg.max_unary_cost), cost)
 
 
@@ -152,9 +165,9 @@ def rank_cost_volume(
     d = cfg.num_disparities
     rl = rank_transform(left, cfg.census_window)
     rr = rank_transform(right, cfg.census_window)
-    rr_stack = _shifted_stack(rr, d, right_context)
+    rr_stack = _shifted_stack(rr, d, right_context, int(cfg.min_disparity))
     cost = jnp.abs(rl[:, :, None] - rr_stack)
-    invalid = _invalid_mask(h, w, d, x_offset)
+    invalid = _invalid_mask(h, w, d, x_offset, int(cfg.min_disparity))
     return jnp.where(invalid, jnp.int32(cfg.max_unary_cost), cost)
 
 

@@ -55,6 +55,24 @@ def _popcount(x: jnp.ndarray) -> jnp.ndarray:
     return (x & jnp.uint32(0x3F)).astype(jnp.int32)
 
 
+def _md_shift(plane: jnp.ndarray, md: int) -> jnp.ndarray:
+    """Right-shift a [..., W] right-view plane by min_disparity, clamped.
+
+    vol_md[x, lane] = cost(left[x], right[x - md - lane]) equals the
+    md = 0 roll-fanout applied to plane'[u] = plane[max(u - md, 0)] —
+    the clamp compositions match the golden _shifted_stack exactly, and
+    the invalid mask absorbs md via an x_offset - md origin. This keeps
+    min_disparity OUT of the kernels (their 2-chunk context cannot reach
+    d - 1 + md back when md > 0).
+    """
+    if md == 0:
+        return plane
+    lead = jnp.broadcast_to(
+        plane[..., :1], plane.shape[:-1] + (md,)
+    )
+    return jnp.concatenate([lead, plane[..., :-md]], axis=-1)
+
+
 def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
                  *, xc, d, bh, maxc, interpret, emit_t, words=1,
                  combine="hamming", margin=False):
@@ -417,12 +435,13 @@ def census_cost_volume_pallas(
     if cfg.cost_fn != "census":
         raise NotImplementedError("census cost kernel: cfg.cost_fn != census")
     # [words, H, W] uint32 descriptor planes
+    md = int(cfg.min_disparity)
     cl = jnp.moveaxis(census_transform(left, cfg.census_window), -1, 0)
     cr = jnp.moveaxis(census_transform(right, cfg.census_window), -1, 0)
     return _roll_cost_volume(
-        cl, cr, cfg, "hamming", interpret=interpret,
+        cl, _md_shift(cr, md), cfg, "hamming", interpret=interpret,
         emit_transposed=emit_transposed, out_dtype=out_dtype,
-        x_offset=x_offset, right_context=right_context,
+        x_offset=x_offset - md, right_context=right_context,
     )
 
 
@@ -444,12 +463,13 @@ def rank_cost_volume_pallas(
     """
     if cfg.cost_fn != "rank":
         raise NotImplementedError("rank cost kernel: cfg.cost_fn != rank")
+    md = int(cfg.min_disparity)
     rl = rank_transform(left, cfg.census_window)[None]      # [1, H, W] i32
     rr = rank_transform(right, cfg.census_window)[None]
     return _roll_cost_volume(
-        rl, rr, cfg, "absdiff", interpret=interpret,
+        rl, _md_shift(rr, md), cfg, "absdiff", interpret=interpret,
         emit_transposed=emit_transposed, out_dtype=out_dtype,
-        x_offset=x_offset, right_context=right_context,
+        x_offset=x_offset - md, right_context=right_context,
     )
 
 
@@ -611,9 +631,14 @@ def sad_cost_volume_pallas(
     # edge patch overrides everything right of w-1 anyway.
     wctx = cpad + wp + rx
     wctx += -wctx % 128
+    md = int(cfg.min_disparity)
     pads = ((bh, hp - h + bh), (cpad, wctx - cpad - w))
     pl_img = jnp.pad(left.astype(jnp.int32), pads, mode="edge")
-    pr_img = jnp.pad(right.astype(jnp.int32), pads, mode="edge")
+    # min_disparity composes as a clamped right-shift of the right image
+    # (see _md_shift) with an x_offset - md invalid origin.
+    pr_img = jnp.pad(
+        _md_shift(right.astype(jnp.int32), md), pads, mode="edge"
+    )
 
     grid = (hp // bh,)
     row = lambda k: (lambda i: (i + k, 0))
@@ -623,7 +648,7 @@ def sad_cost_volume_pallas(
         _sad_kernel, d=d, wy=wy, wx=wx, wp=wp, cpad=cpad,
         maxc=cfg.max_unary_cost, area=area, w_true=w, interpret=interpret,
     )
-    bounds = jnp.asarray(x_offset, jnp.int32)[None]
+    bounds = jnp.asarray(x_offset - md, jnp.int32)[None]
     cost = pl.pallas_call(
         kernel,
         grid=grid,

@@ -862,7 +862,7 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
     # so these are not compile-time constants the way static extents were).
     diag_a_fresh = x_iota <= x_lo
     diag_b_fresh = x_iota >= x_hi - 1
-    oof_right = x0 + x_iota + lane >= image_width
+    oof_right = x0 + x_iota + lane + md >= image_width
     # Packing radix: the smallest power of two >= D, so pack/unpack are
     # exact float ops (s * pd + lane < 2^15 * 2^9 <= 2^24).
     pd = 1 << max(0, (d - 1).bit_length())
@@ -895,14 +895,14 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
         # arbitrarily small fake costs) win the min. Also kills padding/
         # wrap garbage (own_hi <= true extent).
         own_lo, own_hi = qr_src if qr_src is not None else (0, None)
-        src = x_iota + lane
+        src = x_iota + lane + md
         trunc_r = (src < own_lo) | (
             src >= own_hi if own_hi is not None else src >= x_hi
         )
-        sp_w = max(pd, 128)
+        sp_w = max(128, -(-(d + md) // 128) * 128)  # == spill_width(d, md)
         spill_cols = [None] * bh
         # Left-spill keep mask: exactly the wrapped entries of the shift
-        # pyramid (source column s = x + lane - W), same owned-range and
+        # pyramid (source column s = x + lane + md - W), same owned-range
         # global-frame restrictions as the main map's unwrapped sources.
         # Only rows [W - k, W) can wrap (lane < D), so the mask and the
         # per-row lane-min below run on that slice, not the full [W, D]
@@ -982,7 +982,7 @@ def _v_fused_kernel(*refs, p1, p2, diag, bh, ct, use_roll, cfg,
             # first-min ties. Samples beyond the GLOBAL frame are masked
             # huge (x0: block's global x origin); rows with every lane
             # masked take winner 0, matching the golden argmin-over-big.
-            q_rr = _epilogue_shift(q, 0, w, interpret, sign=-1)
+            q_rr = _epilogue_shift(q, -md, w, interpret, sign=-1)
             q_r = jnp.where(oof_right, BIG, q_rr)
             if emit_qr:
                 q_r = jnp.where(trunc_r, BIG, q_r)
@@ -1135,11 +1135,16 @@ def sgm_wta_fused_pallas(
         dt = jnp.dtype(jnp.int16)
 
     br, hp, xc, wp = plan_dims(h, w, d)
-    sp_w = max(1 << max(0, (d - 1).bit_length()), 128)
+    mdi = int(cfg.min_disparity)
+    sp_w = max(128, -(-(d + mdi) // 128) * 128)  # spill_width(d, md)
     # One mod-W wrap of the shift pyramid covers spill positions down to
-    # -wp; only positions >= -(D-1) can have in-block sources, so
-    # wp >= d suffices (plan_dims guarantees it).
-    assert not emit_qr or wp >= d, (wp, d)
+    # -wp; only positions >= -(D + md - 1) can have in-block sources, so
+    # wp >= d + md suffices (stitch callers guard patch widths).
+    if emit_qr and wp < d + mdi:
+        raise ValueError(
+            f"emit_qr requires block width >= D + min_disparity "
+            f"({d + mdi}), got padded {wp}"
+        )
     if cost.shape[:2] == (h, w) and (hp, wp) != (h, w):
         cost = jnp.pad(cost, ((0, hp - h), (0, wp - w), (0, 0)))
     if cost.shape[:2] != (hp, wp):

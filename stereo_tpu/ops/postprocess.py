@@ -26,14 +26,19 @@ def right_disparity_from_volume(
 ) -> jnp.ndarray:
     """Right-view WTA disparity by re-indexing the left aggregated volume.
 
-    S_R(y, x_r, d) = S_L(y, x_r + d, d); out-of-frame samples get a cost
-    above any achievable aggregate so they never win. ``x_offset`` /
-    ``image_width`` describe where this block sits in the global image
-    (tiled runs); defaults treat the block as the whole image.
+    S_R(y, x_r, d) = S_L(y, x_r + md + d, d) — left pixel x_r + md + d
+    matches right pixel x_r at lane d, so index x_r IS the right-image
+    column (round-3 review: the md term was missing, skewing every
+    min_disparity != 0 cheap-LR lookup by md columns). Out-of-frame
+    samples get a cost above any achievable aggregate so they never win.
+    ``x_offset`` / ``image_width`` describe where this block sits in the
+    global image (tiled runs); defaults treat the block as the whole
+    image.
     """
     import jax
 
     h, w, d = s.shape
+    md = int(cfg.min_disparity)
     if image_width is None:
         image_width = w
     big = (
@@ -46,9 +51,9 @@ def right_disparity_from_volume(
     # 1-D take to cheap slices, whereas a [H, W, D] take_along_axis gather
     # is catastrophically slow on TPU (hundreds of ms at KITTI scale).
     def plane(s_d, dd):
-        idx = jnp.minimum(jnp.arange(w) + dd, w - 1)
+        idx = jnp.minimum(jnp.arange(w) + md + dd, w - 1)
         shifted = jnp.take(s_d, idx, axis=1)          # [H, W]
-        oof = (x_offset + jnp.arange(w) + dd) >= image_width
+        oof = (x_offset + jnp.arange(w) + md + dd) >= image_width
         return jnp.where(oof[None, :], big, shifted)
 
     s_r = jax.vmap(plane, in_axes=(2, 0), out_axes=2)(s, jnp.arange(d))
@@ -57,14 +62,26 @@ def right_disparity_from_volume(
     return disp_r
 
 
+def spill_width(num_disparities: int, min_disparity: int = 0) -> int:
+    """Left-spill width: covers every position with an in-block source.
+
+    Position p (block-local, < 0) has sources p + md + d for lanes
+    d < D, so the deepest reachable position is -(D + md - 1); pad to
+    the 128-lane tile (and at least one tile).
+    """
+    need = num_disparities + int(min_disparity)
+    return max(128, -(-need // 128) * 128)
+
+
 def right_view_partial_min(
     s: jnp.ndarray, cfg: StereoConfig, x_offset=0, image_width=None,
     src=None,
 ) -> jnp.ndarray:
     """Packed right-view PARTIAL min over in-block anti-diagonals.
 
-    m_r(x) = min over d of S(x+d, d) * PD + d, with lanes masked BIG where
-    the source column x+d leaves the allowed source range (``src``:
+    m_r(x) = min over d of S(x+md+d, d) * PD + d (md = min_disparity, so
+    index x is the RIGHT-image column), with lanes masked BIG where the
+    source column x+md+d leaves the allowed source range (``src``:
     block-local (lo, hi), default the block's true extent — the stitcher
     passes the patch's OWNED columns so every frame column is counted by
     exactly one patch) or the global frame. PD = pow2 >= D, so (value,
@@ -79,6 +96,7 @@ def right_view_partial_min(
     import jax
 
     h, w, d = s.shape
+    md = int(cfg.min_disparity)
     if image_width is None:
         image_width = w
     lo, hi = src if src is not None else (0, w)
@@ -87,11 +105,11 @@ def right_view_partial_min(
     xs = jnp.arange(w)
 
     def plane(s_d, dd):
-        idx = jnp.minimum(xs + dd, w - 1)
+        idx = jnp.clip(xs + md + dd, 0, w - 1)
         q = jnp.take(s_d, idx, axis=1).astype(jnp.float32) * pd + dd
         bad = (
-            (xs + dd < lo) | (xs + dd >= hi)
-            | (x_offset + xs + dd >= image_width)
+            (xs + md + dd < lo) | (xs + md + dd >= hi)
+            | (x_offset + xs + md + dd >= image_width)
         )
         return jnp.where(bad[None, :], big, q)
 
@@ -105,9 +123,10 @@ def right_view_spill(
 ) -> jnp.ndarray:
     """Packed right-view partial mins at positions LEFT of this block.
 
-    Column j of the [H, SP] result (SP = max(PD, 128)) is
-    min over d of S(j - SP + d, d) * PD + d over THIS block's allowed
-    sources only (``src`` as in right_view_partial_min) — the left-spill
+    Column j of the [H, SP] result (SP = spill_width(D, md)) is
+    min over d of S(j - SP + md + d, d) * PD + d over THIS block's
+    allowed sources only (``src`` as in right_view_partial_min) — the
+    left-spill
     companion covering block-local positions [-SP, 0), i.e. this block's
     contribution to the PREVIOUS column patch's right-view map
     (parallel/bands.py stitching). Golden twin of the fused kernel's
@@ -116,16 +135,17 @@ def right_view_spill(
     import jax
 
     h, w, d = s.shape
+    md = int(cfg.min_disparity)
     if image_width is None:
         image_width = w
     lo, hi = src if src is not None else (0, w)
     pd = 1 << max(0, (d - 1).bit_length())
-    sp = max(pd, 128)
+    sp = spill_width(d, md)
     big = jnp.float32(3e38)
     js = jnp.arange(sp)
 
     def plane(s_d, dd):
-        srcs = js - sp + dd
+        srcs = js - sp + md + dd
         idx = jnp.clip(srcs, 0, w - 1)
         q = jnp.take(s_d, idx, axis=1).astype(jnp.float32) * pd + dd
         bad = (srcs < lo) | (srcs >= hi) | (x_offset + srcs >= image_width)

@@ -73,15 +73,22 @@ def build_banded_pipeline(
         halo = TileConfig().resolved_halo(cfg)
     bh = -(-h // n_bands)
     bw = -(-w // n_cols)
+    if (n_bands - 1) * bh >= h or (n_cols - 1) * bw >= w:
+        raise ValueError(
+            f"degenerate split: {n_bands} bands x {n_cols} cols of a "
+            f"{h}x{w} frame leaves empty patches; reduce the split counts"
+        )
     d = cfg.num_disparities
     ctx_ok = cfg.cost_fn in ("census", "rank")
-    # Each patch must span at least the disparity range so one mod-W wrap
-    # of the kernel's shift pyramid covers its whole left-spill (and so a
-    # position's sources straddle at most two patches).
+    # Each patch must span at least the search reach D + min_disparity so
+    # one mod-W wrap of the kernel's shift pyramid covers its whole
+    # left-spill (and so a position's sources straddle at most two
+    # patches).
     min_pw = min(bw + halo, w - (n_cols - 1) * bw + halo) if n_cols > 1 else w
     stitch_ok = (
         n_cols > 1 and cfg.lr_check and not cfg.lr_exact
-        and cfg.num_paths > 0 and ctx_ok and min_pw >= d
+        and cfg.num_paths > 0 and ctx_ok
+        and min_pw >= d + int(cfg.min_disparity)
     )
     if lr_stitch is None:
         lr_stitch = stitch_ok
@@ -93,8 +100,11 @@ def build_banded_pipeline(
         )
     if lr_stitch:
         return _build_stitched(cfg, (h, w), n_bands, n_cols, halo, donate)
-    hx_lo = halo + d
-    hx_hi = halo + (d if (cfg.lr_check and not cfg.lr_exact) else 0)
+    reach = d + int(cfg.min_disparity)
+    hx_lo = halo + reach
+    # Both LR modes read rightward across the patch edge (see
+    # tiling._halo_widths).
+    hx_hi = halo + (reach if cfg.lr_check else 0)
 
     def banded(left, right):
         if left.shape != (h, w):

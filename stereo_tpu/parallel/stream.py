@@ -222,7 +222,10 @@ class StreamRunner:
         to_skip = self.frames_done
         n_this_run = 0
         last_ckpt = 0
-        t0 = time.perf_counter()
+        # Timer starts at the first PROCESSED batch: producing
+        # already-checkpointed batches during resume is not engine time
+        # (round-3 review).
+        t0 = None
         for left, right in batches:
             if left.shape[0] != self.batch:
                 raise ValueError(
@@ -231,6 +234,8 @@ class StreamRunner:
             if to_skip >= left.shape[0]:
                 to_skip -= left.shape[0]
                 continue
+            if t0 is None:
+                t0 = time.perf_counter()
             if to_skip:
                 raise ValueError(
                     f"manifest cursor {self.frames_done} does not align to "
@@ -254,7 +259,8 @@ class StreamRunner:
                 self._checkpoint()
         while pending:
             drain_one()
-        self.elapsed += time.perf_counter() - t0
+        if t0 is not None:
+            self.elapsed += time.perf_counter() - t0
         self._checkpoint()
         fps = self.frames_done / self.elapsed if self.elapsed else 0.0
         return {
@@ -327,6 +333,7 @@ class StreamRunner:
 
         t0 = time.perf_counter()
         n_this_run = 0
+        last_ckpt = 0
         for left, right in it:
             batch_l.append(left)
             batch_r.append(right)
@@ -342,7 +349,12 @@ class StreamRunner:
                     raise RuntimeError(
                         f"fault injection: failing after {n_this_run} frames"
                     )
-                if n_this_run % checkpoint_every == 0:
+                # cadence-based (not modulo): 0 disables, and batch sizes
+                # that don't divide checkpoint_every still checkpoint on
+                # schedule (round-3 review).
+                if (checkpoint_every
+                        and n_this_run - last_ckpt >= checkpoint_every):
+                    last_ckpt = n_this_run
                     while pending:
                         drain_one()
                     self.elapsed += time.perf_counter() - t0
@@ -352,7 +364,8 @@ class StreamRunner:
             flush(len(batch_l))
         while pending:
             drain_one()
-        self.elapsed += time.perf_counter() - t0
+        if t0 is not None:
+            self.elapsed += time.perf_counter() - t0
         self._checkpoint()
         fps = self.frames_done / self.elapsed if self.elapsed else 0.0
         return {

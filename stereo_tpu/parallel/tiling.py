@@ -86,12 +86,35 @@ def _halo_exchange(
     return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else x
 
 
+def _cropped_median(disp_c, iy, ix, bh, bw, h, w):
+    """3x3 median on a CROPPED tile with a 1-px neighbor disparity halo.
+
+    Runs after cropping so edge pixels see final neighbor disparities
+    (running inside the extended tile would mix values computed at
+    out-of-image replica pixels, where the untiled pipeline replicates
+    the edge disparity). Shared by the legacy and stitched tile bodies.
+    """
+    e = _halo_exchange(disp_c, 0, "ty", 1, 1)
+    e = _halo_exchange(e, 1, "tx", 1, 1)
+    ys1 = iy * bh - 1 + jnp.arange(bh + 2)[:, None]
+    xs1 = ix * bw - 1 + jnp.arange(bw + 2)[None, :]
+    e = e[
+        jnp.clip(ys1, 0, h - 1) - (iy * bh - 1),
+        jnp.clip(xs1, 0, w - 1) - (ix * bw - 1),
+    ]
+    return median_3x3(e)[1:-1, 1:-1]
+
+
 def _halo_widths(cfg: StereoConfig, tile_cfg: TileConfig) -> Tuple[int, int, int]:
     """(halo_y, halo_x_lo, halo_x_hi) in pixels."""
     halo = tile_cfg.resolved_halo(cfg)
-    d = cfg.num_disparities
-    x_lo = halo + d                       # cost needs right(x - d)
-    x_hi = halo + (d if (cfg.lr_check and not cfg.lr_exact) else 0)
+    reach = cfg.num_disparities + int(cfg.min_disparity)
+    x_lo = halo + reach                   # cost needs right(x - md - d)
+    # BOTH LR modes read rightward across the tile edge: the cheap
+    # re-index restacks S at x + md + d, and the exact flipped pass
+    # searches left samples at x + md + d (round-3 review: lr_exact
+    # previously got no high halo).
+    x_hi = halo + (reach if cfg.lr_check else 0)
     return halo, x_lo, x_hi
 
 
@@ -194,15 +217,7 @@ def make_tile_fn(
         valid_c = res.valid[crop] & valid[crop]
 
         if cfg.median_filter:
-            e = _halo_exchange(disp_c, 0, "ty", 1, 1)
-            e = _halo_exchange(e, 1, "tx", 1, 1)
-            ys1 = iy * bh - 1 + jnp.arange(bh + 2)[:, None]
-            xs1 = ix * bw - 1 + jnp.arange(bw + 2)[None, :]
-            e = e[
-                jnp.clip(ys1, 0, h - 1) - (iy * bh - 1),
-                jnp.clip(xs1, 0, w - 1) - (ix * bw - 1),
-            ]
-            disp_c = median_3x3(e)[1:-1, 1:-1]
+            disp_c = _cropped_median(disp_c, iy, ix, bh, bw, h, w)
 
         return StereoResult(disp=disp_c, valid=valid_c)
 
@@ -349,15 +364,7 @@ def make_stitched_tile_fn(
         valid_c = ((ok_nolr & gate) > 0) & in_frame
 
         if cfg.median_filter:
-            e = _halo_exchange(disp_c, 0, "ty", 1, 1)
-            e = _halo_exchange(e, 1, "tx", 1, 1)
-            ys1 = iy * bh - 1 + jnp.arange(bh + 2)[:, None]
-            xs1 = ix * bw - 1 + jnp.arange(bw + 2)[None, :]
-            e = e[
-                jnp.clip(ys1, 0, h - 1) - (iy * bh - 1),
-                jnp.clip(xs1, 0, w - 1) - (ix * bw - 1),
-            ]
-            disp_c = median_3x3(e)[1:-1, 1:-1]
+            disp_c = _cropped_median(disp_c, iy, ix, bh, bw, h, w)
 
         return StereoResult(disp=disp_c, valid=valid_c)
 

@@ -582,8 +582,16 @@ def compute_disparity(
         # flipping both images horizontally and swapping roles, then flip
         # the result back — identical to a dedicated right-reference matcher.
         # The consistency compare uses INTEGER winners on both sides
-        # (standard SGM: LR precedes subpixel refinement).
-        s_r = _aggregate(right[:, ::-1], left[:, ::-1], cfg, constrain=constrain)
+        # (standard SGM: LR precedes subpixel refinement). On a column
+        # patch of a larger frame the flipped pass gets the FLIPPED global
+        # origin so its disparity-range masking matches the whole-frame
+        # right-reference matcher (round-3 review: it previously treated
+        # every patch edge as a frame edge).
+        iw_f = image_width if image_width is not None else left.shape[1]
+        s_r = _aggregate(
+            right[:, ::-1], left[:, ::-1], cfg, constrain=constrain,
+            x_offset=iw_f - x_offset - left.shape[1],
+        )
         _, _, d_int_r = wta_with_aux(s_r, cfg)
         disp_r = d_int_r[:, ::-1]
         ok = ok & lr_consistency(d_int, disp_r, cfg, x_offset, image_width)

@@ -1,5 +1,6 @@
 """Cost-volume golden tests against naive numpy oracles."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -134,3 +135,41 @@ def test_rank_pipeline_end_to_end():
         np.array(res.disp), pair.gt_disp, pair.gt_valid, np.array(res.valid)
     )
     assert m["bad1"] < 0.01, m
+
+
+def test_min_disparity_shifts_search_range():
+    """Regression (round-3 review): the volume previously IGNORED
+    min_disparity (search always ran d = 0..D-1 and the winner was
+    relabeled +md, biasing every md != 0 output by md). Lane d must
+    search disparity md + d: a random-dot pair with constant true
+    disparity c recovers exactly c when c is inside [md, md + D)."""
+    rng = np.random.default_rng(3)
+    h, w, c, md = 20, 96, 9, 4
+    right = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    idx = np.maximum(np.arange(w) - c, 0)
+    left = right[:, idx]
+    cfg = StereoConfig(
+        cost_fn="census", census_window=(5, 5), num_disparities=16,
+        min_disparity=md, num_paths=0, subpixel=False, lr_check=False,
+        median_filter=False, uniqueness_ratio=0.0,
+    )
+    vol = np.array(cost_volume(jnp.asarray(left), jnp.asarray(right), cfg))
+    win = md + vol.argmin(axis=2)
+    interior = np.zeros((h, w), bool)
+    interior[4:-4, max(c, md + 15) + 4:-4] = True
+    assert (win[interior] == c).mean() > 0.99, win[interior]
+
+
+def test_min_disparity_volume_matches_shifted_zero_md():
+    """vol_md[x, l] must equal vol_0[x, l'] at l' = l + md wherever both
+    lanes exist (same disparity, same costs)."""
+    rng = np.random.default_rng(4)
+    h, w = 16, 64
+    left = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    right = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    cfg0 = StereoConfig(cost_fn="census", census_window=(5, 5),
+                        num_disparities=16, num_paths=0)
+    cfg3 = cfg0.replace(num_disparities=8, min_disparity=3)
+    v0 = np.array(cost_volume(jnp.asarray(left), jnp.asarray(right), cfg0))
+    v3 = np.array(cost_volume(jnp.asarray(left), jnp.asarray(right), cfg3))
+    np.testing.assert_array_equal(v3, v0[:, :, 3:11])

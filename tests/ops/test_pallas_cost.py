@@ -1,11 +1,16 @@
 """Pallas census cost-volume kernel vs the golden jnp implementation."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from stereo_tpu.config import StereoConfig
 from stereo_tpu.ops import census_cost_volume
-from stereo_tpu.ops.pallas.cost_kernel import census_cost_volume_pallas
+from stereo_tpu.ops.cost import sad_cost_volume
+from stereo_tpu.ops.pallas.cost_kernel import (
+    census_cost_volume_pallas,
+    sad_cost_volume_pallas,
+)
 
 
 @pytest.mark.parametrize("shape,d", [((16, 40), 16), ((21, 50), 8), ((24, 160), 128)])
@@ -211,3 +216,48 @@ def test_pipeline_right_context_matches_wide_halo():
     np.testing.assert_array_equal(
         np.array(res_ctx.valid[:, a0:]), np.array(res_wide.valid[:, b0:])
     )
+
+
+@pytest.mark.parametrize("cost_fn", ["census", "rank"])
+def test_cost_kernel_min_disparity_matches_golden(cost_fn):
+    """min_disparity composes as a clamped right-shift of the descriptor
+    plane + an x_offset - md invalid origin (_md_shift); kernel must stay
+    bit-exact vs the golden md volume, incl. offsets and context."""
+    from stereo_tpu.ops.cost import rank_cost_volume
+    from stereo_tpu.ops.pallas.cost_kernel import rank_cost_volume_pallas
+
+    rng = np.random.default_rng(7)
+    h, w = 16, 160
+    left = rng.integers(0, 255, (h, w + 128)).astype(np.uint8)
+    right = rng.integers(0, 255, (h, w + 128)).astype(np.uint8)
+    golden = census_cost_volume if cost_fn == "census" else rank_cost_volume
+    kern = (census_cost_volume_pallas if cost_fn == "census"
+            else rank_cost_volume_pallas)
+    cfg = StereoConfig(cost_fn=cost_fn, census_window=(5, 5),
+                       num_disparities=128, min_disparity=5)
+    for xo, ctx in [(0, 0), (64, 64), (128, 127)]:
+        l2 = left[:, xo:xo + w]
+        r2 = right[:, xo - ctx:xo + w]
+        g = golden(jnp.asarray(l2), jnp.asarray(r2), cfg, x_offset=xo,
+                   right_context=ctx)
+        k, kt = kern(jnp.asarray(l2), jnp.asarray(r2), cfg, x_offset=xo,
+                     interpret=True, right_context=ctx)
+        np.testing.assert_array_equal(np.array(g), np.array(k)[:h, :w])
+        if kt is not None:
+            np.testing.assert_array_equal(
+                np.array(kt)[:w, :h], np.transpose(np.array(g), (1, 0, 2))
+            )
+
+
+def test_sad_kernel_min_disparity_matches_golden():
+    rng = np.random.default_rng(8)
+    h, w = 16, 96
+    left = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    right = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    cfg = StereoConfig(cost_fn="sad", sad_window=(5, 5), num_disparities=16,
+                       min_disparity=3, num_paths=0)
+    g = sad_cost_volume(jnp.asarray(left), jnp.asarray(right), cfg,
+                        x_offset=32)
+    k, _ = sad_cost_volume_pallas(jnp.asarray(left), jnp.asarray(right),
+                                  cfg, x_offset=32, interpret=True)
+    np.testing.assert_array_equal(np.array(g), np.array(k)[:h, :w])
