@@ -98,6 +98,21 @@ class StereoConfig:
         return 255
 
     @property
+    def window_radius(self) -> int:
+        """Descriptor/window support radius in pixels (max over y/x).
+
+        Census and rank descriptors read ``census_window`` around each
+        pixel; SAD reads ``sad_window``. Tile halos must cover at least
+        this radius for border descriptors to be frame-true.
+        """
+        win = (
+            self.census_window
+            if self.cost_fn in ("census", "rank")
+            else self.sad_window
+        )
+        return max(win[0] // 2, win[1] // 2)
+
+    @property
     def cost_volume_dtype(self):
         """Narrowest exact dtype for the materialized cost volume.
 
@@ -131,15 +146,11 @@ class TileConfig:
     def resolved_halo(self, cfg: StereoConfig) -> int:
         if self.halo is not None:
             return self.halo
-        win = (
-            cfg.census_window if cfg.cost_fn == "census" else cfg.sad_window
-        )
-        radius = max(win[0] // 2, win[1] // 2)
         # SGM carry warm-up strip: a border band lets path costs settle
         # before entering the tile interior (bounded-error tiling; the exact
         # cross-tile sequential variant lives in parallel/tiling.py).
         warmup = 16
-        return radius + warmup
+        return cfg.window_radius + warmup
 
 
 # ---------------------------------------------------------------------------

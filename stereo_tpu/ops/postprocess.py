@@ -173,6 +173,7 @@ def lr_gate_from_right_map(
     x_offset=0,
     image_width=None,
     r_offset=0,
+    r_delta=None,
 ) -> jnp.ndarray:
     """LR gate for left winners against an explicit right-view winner map.
 
@@ -184,6 +185,13 @@ def lr_gate_from_right_map(
     a patch-local partial). Gather-free: one-hot select over D shifted
     slices (see lr_consistency).
 
+    ``r_delta`` (static int) overrides ``x_offset - r_offset`` in the
+    per-plane shift. Tiled callers whose offsets are traced device
+    indices but whose DIFFERENCE is algebraically static must pass it:
+    a traced shift turns the per-plane ``jnp.take`` into an XLA gather
+    on TPU — the exact pathology lr_consistency's docstring documents —
+    while a static one lowers to slices (round-3 advisor finding).
+
     Returns [H, Wl] bool.
     """
     import jax
@@ -194,14 +202,15 @@ def lr_gate_from_right_map(
         image_width = x_offset + wl
     d = cfg.num_disparities
     md = int(cfg.min_disparity)
+    if r_delta is None:
+        r_delta = x_offset - r_offset
     d0i = d0.astype(jnp.int32)
     xs = jnp.arange(wl)[None, :]
     xr_g = x_offset + xs - d0i - md
     in_frame = (xr_g >= 0) & (xr_g < image_width)
 
     def plane(dd):
-        idx = jnp.clip(jnp.arange(wl) + x_offset - r_offset - dd - md,
-                       0, wr - 1)
+        idx = jnp.clip(jnp.arange(wl) + r_delta - dd - md, 0, wr - 1)
         return jnp.take(d_r, idx, axis=1)
 
     stack = jax.vmap(plane, out_axes=2)(jnp.arange(d))       # [H, Wl, D]

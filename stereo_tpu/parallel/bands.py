@@ -85,18 +85,24 @@ def build_banded_pipeline(
     # left-spill (and so a position's sources straddle at most two
     # patches).
     min_pw = min(bw + halo, w - (n_cols - 1) * bw + halo) if n_cols > 1 else w
+    # halo >= window radius: the stitch's owned-source qr partials (and the
+    # right-context descriptors) are only frame-true when border windows are
+    # complete inside the halo (round-3 advisor finding; default halo is
+    # radius + 16 so only explicit small halos hit this).
     stitch_ok = (
         n_cols > 1 and cfg.lr_check and not cfg.lr_exact
         and cfg.num_paths > 0 and ctx_ok
         and min_pw >= d + int(cfg.min_disparity)
+        and halo >= cfg.window_radius
     )
     if lr_stitch is None:
         lr_stitch = stitch_ok
     elif lr_stitch and not stitch_ok:
         raise ValueError(
             "lr_stitch needs n_cols > 1 column patches, the cheap-LR "
-            "re-index (lr_check without lr_exact), SGM paths, and a "
-            "census/rank cost"
+            "re-index (lr_check without lr_exact), SGM paths, a "
+            "census/rank cost, and a halo covering the descriptor "
+            "window radius"
         )
     if lr_stitch:
         return _build_stitched(cfg, (h, w), n_bands, n_cols, halo, donate)

@@ -70,23 +70,23 @@ def build_stream_pipeline(
     hp, wp = padded_extent(h, ty), padded_extent(w, tx)
     bh, bw = hp // ty, wp // tx
     halo_y, halo_x_lo, halo_x_hi = _halo_widths(cfg, tile_cfg)
+    halo = tile_cfg.resolved_halo(cfg)
     trivial = ty == 1 and tx == 1 and (hp, wp) == (h, w)
     stitch = lr_stitch
     if stitch is None:
-        stitch = not trivial and tx > 1 and stitch_supported(cfg, bw)
-    elif stitch and (trivial or not stitch_supported(cfg, bw)):
+        stitch = not trivial and tx > 1 and stitch_supported(cfg, bw, halo)
+    elif stitch and (trivial or not stitch_supported(cfg, bw, halo)):
         raise ValueError(
             "lr_stitch needs a non-trivial tile grid with tx > 1, the "
-            "cheap-LR re-index, SGM paths, a census/rank cost, and tiles "
-            "at least D + min_disparity wide"
+            "cheap-LR re-index, SGM paths, a census/rank cost, tiles "
+            "at least D + min_disparity wide, and a halo covering the "
+            "descriptor window radius"
         )
     if stitch:
         # Warm-up-only x-overlap + cross-tile LR stitching (see
         # tiling.make_stitched_tile_fn) — same error model, ~2D fewer
         # overlap columns per tile along 'tx'.
-        tile_fn = make_stitched_tile_fn(
-            cfg, h, w, bh, bw, tile_cfg.resolved_halo(cfg)
-        )
+        tile_fn = make_stitched_tile_fn(cfg, h, w, bh, bw, halo)
     else:
         tile_fn = make_tile_fn(
             cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi,

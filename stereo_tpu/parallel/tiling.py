@@ -118,12 +118,18 @@ def _halo_widths(cfg: StereoConfig, tile_cfg: TileConfig) -> Tuple[int, int, int
     return halo, x_lo, x_hi
 
 
-def stitch_supported(cfg: StereoConfig, bw: int) -> bool:
+def stitch_supported(cfg: StereoConfig, bw: int, halo: Optional[int] = None) -> bool:
     """Whether the warm-up-only stitched tile regime applies.
 
     Census/rank costs (the cost kernels' right_context path), the cheap
     re-index LR, SGM paths, and tiles at least D + md wide (so a
-    right-view position's sources straddle at most two tiles).
+    right-view position's sources straddle at most two tiles). When
+    ``halo`` is given it must also cover the descriptor window radius:
+    the stitch's owned-source qr partials are only frame-true if
+    descriptors at owned columns near the patch edge see complete
+    windows (round-3 advisor finding — a user halo below the radius
+    would silently widen the error model beyond SGM warm-up, so such
+    configs fall back to the legacy regime / raise on explicit request).
     """
     return (
         cfg.lr_check
@@ -131,6 +137,7 @@ def stitch_supported(cfg: StereoConfig, bw: int) -> bool:
         and cfg.num_paths > 0
         and cfg.cost_fn in ("census", "rank")
         and bw >= cfg.num_disparities + int(cfg.min_disparity)
+        and (halo is None or halo >= cfg.window_radius)
     )
 
 
@@ -346,9 +353,12 @@ def make_stitched_tile_fn(
         disp_c = parts.disp[crop]
 
         def regate(lo, hi):
+            # x_offset and r_offset are traced (device-index algebra) but
+            # their difference is the static lo + reach — pass it so the
+            # per-plane map shift lowers to slices, not a gather.
             return lr_gate_from_right_map(
                 d0[:, lo:hi], d_r, cfg, x_offset=ix * bw + lo,
-                image_width=w, r_offset=map_org,
+                image_width=w, r_offset=map_org, r_delta=lo + reach,
             ).astype(jnp.int32)
 
         if bw <= 2 * reach:
@@ -402,20 +412,21 @@ def build_halo_pipeline(
         right_p = jnp.pad(right, ((0, hp - h), (0, wp - w)))
 
         trivial = ty == 1 and tx == 1 and (hp, wp) == (h, w)
+        halo = tile_cfg.resolved_halo(cfg)
         stitch = lr_stitch
         if stitch is None:
-            stitch = tx > 1 and stitch_supported(cfg, bw) and not trivial
-        elif stitch and (trivial or not stitch_supported(cfg, bw)):
+            stitch = (
+                tx > 1 and stitch_supported(cfg, bw, halo) and not trivial
+            )
+        elif stitch and (trivial or not stitch_supported(cfg, bw, halo)):
             raise ValueError(
                 "lr_stitch needs a non-trivial tile grid, the cheap-LR "
                 "re-index (lr_check without lr_exact), SGM paths, a "
-                "census/rank cost, and tiles at least D + min_disparity "
-                "wide"
+                "census/rank cost, tiles at least D + min_disparity "
+                "wide, and a halo covering the descriptor window radius"
             )
         if stitch:
-            tile_fn = make_stitched_tile_fn(
-                cfg, h, w, bh, bw, tile_cfg.resolved_halo(cfg)
-            )
+            tile_fn = make_stitched_tile_fn(cfg, h, w, bh, bw, halo)
         else:
             tile_fn = make_tile_fn(
                 cfg, h, w, bh, bw, halo_y, halo_x_lo, halo_x_hi,
