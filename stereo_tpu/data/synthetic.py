@@ -171,7 +171,7 @@ def _disparity_field(kind, h, w, max_disp, rng):
     raise ValueError(f"unknown kind {kind}")
 
 
-def _texture(texture, h, w, rng):
+def _texture(texture, h, w, rng, period=None):
     if texture == "noise":
         return rng.integers(0, 256, size=(h, w)).astype(np.float32)
     if texture == "cloud":
@@ -189,6 +189,26 @@ def _texture(texture, h, w, rng):
         up = (up - up.min()) / (np.ptp(up) + 1e-9)
         dots = rng.integers(0, 256, size=(h, w)).astype(np.float32)
         return 0.65 * (up * 255.0) + 0.35 * dots
+    if texture == "picket":
+        # Repetitive texture — the canonical stereo ambiguity (picket
+        # fence / aliasing): vertical stripes of period ``p`` make the
+        # matching cost near-minimal at every lattice offset d ± k*p, so
+        # WTA locks onto the wrong alias and only the uniqueness /
+        # smoothness gates can catch it. A weak dot layer (5%) keeps a
+        # faint true signal, as real fences/railings do — with the hard
+        # suite's noise_std=6 the true-match advantage sits near the
+        # noise floor (measured: ~12% bad3 untuned at CI scale).
+        # ``period`` must stay below the disparity search range for
+        # in-range aliases to exist (the scenario passes period 8,
+        # ambiguous from the D=16 CI scale up).
+        p = int(period) if period else int(rng.integers(10, 15))
+        phase = rng.uniform(0, p)
+        xs = np.arange(w, dtype=np.float32)[None, :]
+        stripes = ((xs + phase) % p) < (p / 2)
+        base = np.where(stripes, 210.0, 45.0)
+        base = np.broadcast_to(base, (h, w)).astype(np.float32)
+        dots = rng.integers(0, 256, size=(h, w)).astype(np.float32)
+        return 0.95 * base + 0.05 * dots
     raise ValueError(f"unknown texture {texture}")
 
 
@@ -205,6 +225,7 @@ def make_pair(
     gamma: float = 1.0,
     flat_frac: float = 0.0,
     y_jitter: float = 0.0,
+    period: Optional[int] = None,
 ) -> StereoPair:
     """Generate a synthetic rectified stereo pair.
 
@@ -219,8 +240,9 @@ def make_pair(
         "layers"    — 8 overlapping objects, wide disocclusions (HARD);
         "wedges"    — piecewise slanted planes, fractional GT (HARD);
         "bars"      — 2-4 px thin structures over far background (HARD).
-      texture: "noise" (random-dot) or "cloud" (band-limited smooth texture
-        with added dots, closer to natural images).
+      texture: "noise" (random-dot), "cloud" (band-limited smooth texture
+        with added dots, closer to natural images), or "picket" (periodic
+        vertical stripes — the classic repetitive-texture ambiguity, HARD).
       noise_std: stddev of INDEPENDENT iid sensor noise added per view.
       subpixel: allow fractional ground-truth disparities.
       gain/bias/gamma: radiometric distortion of the LEFT view only,
@@ -247,7 +269,7 @@ def make_pair(
         disp = np.round(disp)
     disp = np.clip(disp, 0, max_disp).astype(np.float32)
 
-    right = _texture(texture, h, w, rng)
+    right = _texture(texture, h, w, rng, period=period)
 
     if flat_frac > 0.0:
         # Paint constant-intensity patches into the RIGHT view before

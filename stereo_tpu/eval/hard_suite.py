@@ -54,6 +54,13 @@ SCENARIOS: Dict[str, dict] = {
     "thin": dict(kind="bars", texture="cloud", noise_std=2.0),
     # 0.5 px vertical rectification error
     "jitter": dict(kind="shapes", texture="cloud", y_jitter=0.5, noise_std=2.0),
+    # repetitive texture (picket fence): cost minima at every stripe-period
+    # alias — the failure mode the uniqueness gate exists for (VERDICT r3
+    # #8). period 8 < every suite search range, so in-range aliases exist
+    # from the D=16 CI scale up.
+    "periodic": dict(
+        kind="shapes", texture="picket", period=8, noise_std=6.0
+    ),
     # everything at once: layered occlusions + radiometric + noise + flats
     "combo": dict(
         kind="layers", texture="cloud",

@@ -25,7 +25,8 @@ SEEDS = (0, 1)
 # scenario -> (max bad3_noc, min density_noc); measured r3:
 # clean .008/.985, radiometric .010/.983, noise .013/.979,
 # occlusion .029/.963, textureless .091/.880, slant .000/.993,
-# thin .125/.993, jitter .021/.964, combo .065/.901
+# thin .125/.993, jitter .021/.964, combo .065/.901,
+# periodic .121/.946 (untuned r4 measurement; VERDICT r3 #8)
 GATES = {
     "clean": (0.02, 0.96),
     "radiometric": (0.025, 0.95),
@@ -35,6 +36,7 @@ GATES = {
     "slant": (0.01, 0.97),
     "thin": (0.20, 0.97),
     "jitter": (0.05, 0.92),
+    "periodic": (0.18, 0.90),
     "combo": (0.12, 0.85),
 }
 
