@@ -48,11 +48,21 @@ def score_rows(
     density_floor: float = 0.90,
     density_weight: float = 0.5,
     weights: Optional[Dict[str, float]] = None,
+    all_weight: float = 0.0,
 ) -> float:
     """Scalar objective (lower is better) over per-scenario suite rows.
 
-    score = Σ_s w_s * (bad3_noc_s + density_weight * max(0, floor - density_noc_s))
+    score = Σ_s w_s * (blend_s + density_weight * max(0, floor - density_noc_s))
             / Σ_s w_s
+    blend = (1 - all_weight) * bad3_noc + all_weight * bad3_all
+
+    ``all_weight`` > 0 requires suite rows carrying *_all metrics
+    (score_occluded). Run it with cfg.fill_occlusions=True: gated pixels
+    are then filled and SCORED, so a config cannot win by invalidating
+    hard content — the uniqueness/speckle gates only pay off where the
+    fill recovers better values than the rejected winner. bad3_noc alone
+    is gameable in exactly that way (the round-4 sweep-1 lesson:
+    textureless density collapsed to 0.59 while its bad3_noc "won").
     """
     weights = weights or DEFAULT_WEIGHTS
     num, den = 0.0, 0.0
@@ -60,8 +70,11 @@ def score_rows(
         w = weights.get(r["scenario"], 1.0)
         if w == 0.0:
             continue
+        bad = r["bad3_noc"]
+        if all_weight > 0.0 and "bad3_all" in r:
+            bad = (1.0 - all_weight) * bad + all_weight * r["bad3_all"]
         shortfall = max(0.0, density_floor - r["density_noc"])
-        num += w * (r["bad3_noc"] + density_weight * shortfall)
+        num += w * (bad + density_weight * shortfall)
         den += w
     return num / max(den, 1e-9)
 
@@ -75,6 +88,7 @@ def sweep(
     density_floor: float = 0.90,
     density_weight: float = 0.5,
     weights: Optional[Dict[str, float]] = None,
+    all_weight: float = 0.0,
     log_path: Optional[str] = None,
     verbose: bool = False,
 ) -> List[dict]:
@@ -93,12 +107,13 @@ def sweep(
         t0 = time.time()
         rows = run_hard_suite(
             cfg, shape=shape, seeds=seeds, scenarios=scenarios,
-            score_occluded=False,
+            score_occluded=all_weight > 0.0,
         )
         rec = {
             "overrides": {k: _jsonable(v) for k, v in overrides.items()},
             "score": round(
-                score_rows(rows, density_floor, density_weight, weights), 6
+                score_rows(rows, density_floor, density_weight, weights,
+                           all_weight), 6
             ),
             "rows": {r["scenario"]: r for r in rows},
             "elapsed_s": round(time.time() - t0, 1),

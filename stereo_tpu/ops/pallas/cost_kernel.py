@@ -55,6 +55,38 @@ def _popcount(x: jnp.ndarray) -> jnp.ndarray:
     return (x & jnp.uint32(0x3F)).astype(jnp.int32)
 
 
+def _hankel_doubling(ctx_row: jnp.ndarray, base: int, rows: int,
+                     interpret: bool) -> jnp.ndarray:
+    """Shift stack by log-doubling: row s = roll(ctx, base + s), s < rows.
+
+    Equivalent to ``pltpu.roll(broadcast(ctx), base, 1, stride=1,
+    stride_axis=0)`` but built from log2(rows) UNIFORM lane rotations with
+    sublane-concat doubling: stage j doubles the stack with one roll by
+    2^j. A per-sublane-varying rotate is the one pattern the VPU has no
+    native form for — Mosaic lowers it to a masked-select cascade over
+    the full [rows, cw] tile, which the roofline showed dominating the
+    cost pass (the counted XOR+popcount ops explain less than a quarter
+    of its time). Total doubling work is ~2 tile-areas of rolls + moves.
+
+    ``ctx_row`` is [1, CW]; returns [rows, CW]. rows must be a power of
+    two (the callers' XC/D are).
+    """
+    assert rows & (rows - 1) == 0, rows
+    cw = ctx_row.shape[-1]
+
+    def rot(x, k):
+        if interpret:
+            return jnp.roll(x, k, axis=1)
+        return pltpu.roll(x, k % cw, 1)
+
+    t = rot(ctx_row, base)
+    size = 1
+    while size < rows:
+        t = jnp.concatenate([t, rot(t, size)], axis=0)
+        size *= 2
+    return t
+
+
 def _md_shift(plane: jnp.ndarray, md: int) -> jnp.ndarray:
     """Right-shift a [..., W] right-view plane by min_disparity, clamped.
 
@@ -75,7 +107,7 @@ def _md_shift(plane: jnp.ndarray, md: int) -> jnp.ndarray:
 
 def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
                  *, xc, d, bh, maxc, interpret, emit_t, words=1,
-                 combine="hamming", margin=False):
+                 combine="hamming", margin=False, fanout="strided"):
     """One [W?, BH, XC] descriptor tile -> [BH, XC, D] (+ [XC, BH, D]) cost.
 
     Descriptor refs carry a leading words axis; multi-word census sums the
@@ -126,14 +158,19 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
     for r in range(bh):
         pc = jnp.zeros((d, xc), jnp.int32)
         for k in range(words):
-            ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (d, cw))
-            if interpret:
+            if fanout == "doubling" and d & (d - 1) == 0:
+                shifted = _hankel_doubling(
+                    ctxs[k][r : r + 1], 0, d, interpret
+                )
+            elif interpret:
+                ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (d, cw))
                 u = jax.lax.broadcasted_iota(jnp.int32, (d, cw), 1)
                 dd = jax.lax.broadcasted_iota(jnp.int32, (d, cw), 0)
                 shifted = jnp.take_along_axis(
                     ctx_row, (u - dd) % cw, axis=1
                 )
             else:
+                ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (d, cw))
                 shifted = pltpu.roll(ctx_row, 0, 1, stride=1, stride_axis=0)
             win = shifted[:, xc : 2 * xc]                   # [D, XC]
             clr = jnp.broadcast_to(cl_ref[k][r : r + 1], (d, xc))
@@ -152,7 +189,8 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
 
 def _cost_kernel_x(b_ref, cl_ref, crv_cur_ref, crv_nxt_ref, out_ref,
                    out_t_ref, *, xc, d, bh, maxc, interpret, emit_t,
-                   words=1, combine="hamming", margin=False, k_rev=1):
+                   words=1, combine="hamming", margin=False, k_rev=1,
+                   fanout="strided"):
     """x-major fan-out: one [XC, D] cost tile per row, near-zero transposes.
 
     The d-major kernel (_cost_kernel) builds [D, XC] tiles (sublane = d)
@@ -210,14 +248,19 @@ def _cost_kernel_x(b_ref, cl_ref, crv_cur_ref, crv_nxt_ref, out_ref,
     for r in range(bh):
         pc = jnp.zeros((xc, d), jnp.int32)
         for k in range(words):
-            ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (xc, cw))
-            if interpret:
+            if fanout == "doubling" and xc & (xc - 1) == 0:
+                shifted = _hankel_doubling(
+                    ctxs[k][r : r + 1], off, xc, interpret
+                )
+            elif interpret:
+                ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (xc, cw))
                 u = jax.lax.broadcasted_iota(jnp.int32, (xc, cw), 1)
                 s = jax.lax.broadcasted_iota(jnp.int32, (xc, cw), 0)
                 shifted = jnp.take_along_axis(
                     ctx_row, (u - off - s) % cw, axis=1
                 )
             else:
+                ctx_row = jnp.broadcast_to(ctxs[k][r : r + 1], (xc, cw))
                 shifted = pltpu.roll(ctx_row, off, 1, stride=1,
                                      stride_axis=0)
             b = shifted[:, :d]                                  # [XC, D]
@@ -245,6 +288,7 @@ def _roll_cost_volume(
     out_dtype=jnp.int16,
     x_offset=0,
     right_context: int = 0,
+    fanout: str = "strided",
 ):
     """Shared roll-fanout volume builder over [words, H, W] descriptors.
 
@@ -334,7 +378,7 @@ def _roll_cost_volume(
         kernel = functools.partial(
             _cost_kernel_x, xc=xc, d=d, bh=bh, maxc=maxc,
             interpret=interpret, emit_t=emit_transposed, words=words,
-            combine=combine, margin=mj > 0, k_rev=k_rev,
+            combine=combine, margin=mj > 0, k_rev=k_rev, fanout=fanout,
         )
         if not emit_transposed:
             kernel = functools.partial(
@@ -343,7 +387,7 @@ def _roll_cost_volume(
                 ),
                 xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret,
                 emit_t=False, words=words, combine=combine, margin=mj > 0,
-                k_rev=k_rev,
+                k_rev=k_rev, fanout=fanout,
             )
         outs = pl.pallas_call(
             kernel,
@@ -382,7 +426,7 @@ def _roll_cost_volume(
     kernel = functools.partial(
         _cost_kernel, xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret,
         emit_t=emit_transposed, words=words, combine=combine,
-        margin=mj > 0,
+        margin=mj > 0, fanout=fanout,
     )
     if not emit_transposed:
         kernel = functools.partial(
@@ -390,7 +434,7 @@ def _roll_cost_volume(
                 b_r, cl_r, cc_r, cp_r, o_r, None, **kw
             ),
             xc=xc, d=d, bh=bh, maxc=maxc, interpret=interpret, emit_t=False,
-            words=words, combine=combine, margin=mj > 0,
+            words=words, combine=combine, margin=mj > 0, fanout=fanout,
         )
 
     outs = pl.pallas_call(
@@ -422,6 +466,7 @@ def census_cost_volume_pallas(
     out_dtype=jnp.int16,
     x_offset=0,
     right_context: int = 0,
+    fanout: str = "strided",
 ):
     """Census-Hamming cost volume on TPU (any census word count).
 
@@ -441,7 +486,7 @@ def census_cost_volume_pallas(
     return _roll_cost_volume(
         cl, _md_shift(cr, md), cfg, "hamming", interpret=interpret,
         emit_transposed=emit_transposed, out_dtype=out_dtype,
-        x_offset=x_offset - md, right_context=right_context,
+        x_offset=x_offset - md, right_context=right_context, fanout=fanout,
     )
 
 
@@ -454,6 +499,7 @@ def rank_cost_volume_pallas(
     out_dtype=jnp.int16,
     x_offset=0,
     right_context: int = 0,
+    fanout: str = "strided",
 ):
     """Rank-transform |rank_l - rank_r| cost volume on TPU.
 
@@ -469,7 +515,7 @@ def rank_cost_volume_pallas(
     return _roll_cost_volume(
         rl, _md_shift(rr, md), cfg, "absdiff", interpret=interpret,
         emit_transposed=emit_transposed, out_dtype=out_dtype,
-        x_offset=x_offset - md, right_context=right_context,
+        x_offset=x_offset - md, right_context=right_context, fanout=fanout,
     )
 
 

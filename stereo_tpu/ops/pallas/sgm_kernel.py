@@ -123,7 +123,7 @@ def plan_dims(h, w, d):
     return br, hp, xc, wp
 
 
-def _adaptive_maps(image, cfg, h, w, hp, wp, ct):
+def _adaptive_maps(image, cfg, h, w, hp, wp, ct, transpose_h=True):
     """Per-direction effective-P2 maps, padded + laid out for the kernels.
 
     Adaptive P2 (cfg.adaptive_p2, Hirschmueller '08) depends only on the
@@ -134,7 +134,9 @@ def _adaptive_maps(image, cfg, h, w, hp, wp, ct):
 
     Returns (h_fwd_t, h_rev_t, v_dn, v_up):
       * h_*_t: (wp, hp) transposed maps matching the horizontal passes'
-        scan layout (predecessors x-1 / x+1);
+        scan layout (predecessors x-1 / x+1) — or (hp, wp) un-transposed
+        when ``transpose_h=False`` (the in_hwd horizontal form reads
+        (H, W)-layout maps directly);
       * v_dn / v_up: (hp, n_maps, wp) row-interleaved stacks ordered
         (vertical, diag A, diag B) — predecessors (y∓1, x), (y∓1, x-1),
         (y∓1, x+1) — shaped so any BH row blocking keeps legal minors.
@@ -153,8 +155,8 @@ def _adaptive_maps(image, cfg, h, w, hp, wp, ct):
         full = adaptive_p2_map(image, cfg, dy, dx).astype(ct)
         return jnp.pad(full, ((0, hp - h), (0, wp - w)))
 
-    h_fwd_t = jnp.transpose(m(0, -1))
-    h_rev_t = jnp.transpose(m(0, +1))
+    h_fwd_t = jnp.transpose(m(0, -1)) if transpose_h else m(0, -1)
+    h_rev_t = jnp.transpose(m(0, +1)) if transpose_h else m(0, +1)
     diag = cfg.num_paths == 8
     dn = [m(-1, 0)] + ([m(-1, -1), m(-1, +1)] if diag else [])
     up = [m(+1, 0)] + ([m(+1, -1), m(+1, +1)] if diag else [])
@@ -310,7 +312,8 @@ def _seg_renorm(l, r):
 
 
 def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
-              ct=jnp.int32, use_roll=False, out_hwd=False, seg=None):
+              ct=jnp.int32, use_roll=False, out_hwd=False, seg=None,
+              in_hwd=False):
     """One horizontal direction over a [XC, BR, D] block of the TRANSPOSED
     (W, H, D) volume.
 
@@ -327,7 +330,12 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
     The scan axis must be the untiled depth dimension: Mosaic cannot load a
     dynamically indexed single sublane (cost[:, x, :]) from a tiled dim, so
     the wrapper hands this kernel the volume transposed to (W, H, D) and
-    the scan is plain cost_ref[x].
+    the scan is plain cost_ref[x]. EXCEPT with ``in_hwd`` (requires the
+    unrolled ``out_hwd`` form): the x indices are then STATIC Python ints,
+    so the block is the [BR, XC, D] slice of the (H, W, D) volume itself
+    and each step reads the static sublane slice cost_ref[:, x, :] —
+    removing the transposed volume (and its cost-kernel emission, a
+    measured 0.445 ms/frame at KITTI scale) entirely.
 
     Adaptive P2 (Hirschmueller '08): p2_ref is a [XC, BR] block of the
     per-pixel effective-P2 map for THIS direction (ops/sgm.py
@@ -376,19 +384,28 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
         upd = lambda prev, p2x: _upd_lcarry(prev, p1, p2x, use_roll)
     renorm = lambda l: l
 
+    if in_hwd and not out_hwd:
+        raise NotImplementedError("in_hwd requires the unrolled out_hwd form")
     if out_hwd:
         if adaptive and not seg:
-            # Unrolled steps take static lane slices of ONE whole-block
-            # transpose instead of XC single-row relayouts. (Packed maps
-            # are already lane-shaped; p2_at above loads them directly.)
-            p2t = jnp.transpose(p2_ref[:])             # [BR, XC]
-            p2_at = lambda x: p2t[:, x:x + 1]
+            if in_hwd:
+                # Maps arrive in (H, W) layout matching the cost block:
+                # each step is a free static lane slice, no relayout.
+                p2b = p2_ref[:]                        # [BR, XC]
+                p2_at = lambda x: p2b[:, x:x + 1]
+            else:
+                # Unrolled steps take static lane slices of ONE
+                # whole-block transpose instead of XC single-row
+                # relayouts. (Packed maps are already lane-shaped;
+                # p2_at above loads them directly.)
+                p2t = jnp.transpose(p2_ref[:])         # [BR, XC]
+                p2_at = lambda x: p2t[:, x:x + 1]
         carry = carry_ref[:].astype(ct)
         slabs = [None] * xc
         xs = range(xc - 1, -1, -1) if reverse else range(xc)
         for x in xs:
             gx = chunk * xc + x
-            c = cost_ref[x].astype(ct)
+            c = (cost_ref[:, x, :] if in_hwd else cost_ref[x]).astype(ct)
             origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
             l = jnp.where(origin, c, c + upd(carry, p2_at(x)))
             slabs[x] = l.astype(dt)[:, None, :]        # [BR, 1, D]
@@ -1065,10 +1082,17 @@ def sgm_wta_fused_pallas(
     emit_d0: bool = False,
     emit_qr: bool = False,
     qr_src=None,
+    h_from_hwd: bool = False,
     _expose_stages: dict = None,
 ):
     """SGM + WTA + subpixel + uniqueness + LR-check, S never materialized
     in its final form.
+
+    ``h_from_hwd`` (d >= 128 only): the horizontal passes read the
+    (H, W, D) volume directly via static sublane slices of [BR, XC, D]
+    blocks instead of the transposed (W, H, D) copy — callers then skip
+    the cost kernel's transposed emission entirely (``cost_whd`` must be
+    None; a measured 0.445 ms/frame of dual-layout write at KITTI scale).
 
     ``emit_d0``: the int32 valid output packs the integer winner beside
     the gate (valid = ok + 2*d0, d0 EXCLUDING min_disparity) and is
@@ -1153,13 +1177,17 @@ def sgm_wta_fused_pallas(
             f"padded {(hp, wp)} extents"
         )
     grid_h = (hp // br, wp // xc)
-    if adaptive:
-        p2h_f, p2h_r, p2v_dn, p2v_up = _adaptive_maps(
-            image, cfg, h, w, hp, wp, ct
-        )
     # See sgm_aggregate_pallas: the no-transpose [BR, XC, D] assembly needs
     # a full 128-lane D; smaller D emits (W, H, D) and transposes in XLA.
     hwd = d >= 128
+    if h_from_hwd and not hwd:
+        raise ValueError("h_from_hwd requires num_disparities >= 128")
+    if h_from_hwd and cost_whd is not None:
+        raise ValueError("h_from_hwd consumes the (H, W, D) volume only")
+    if adaptive:
+        p2h_f, p2h_r, p2v_dn, p2v_up = _adaptive_maps(
+            image, cfg, h, w, hp, wp, ct, transpose_h=not h_from_hwd
+        )
 
     def h_call(reverse, acc, cost_whd):
         accumulate = acc is not None
@@ -1168,6 +1196,8 @@ def sgm_wta_fused_pallas(
         # [BR, XC, D] slices of the (H, W, D) accumulator — the unrolled
         # kernel assembles them directly, so no transpose sits between the
         # horizontal and vertical pass families (d >= 128 only, see above).
+        # With h_from_hwd the INPUT is the (H, W, D) volume too (static
+        # sublane slices in the unrolled kernel) and cost_whd never exists.
         im_in = (
             (lambda i, j: (grid_h[1] - 1 - j, i, 0))
             if reverse
@@ -1185,15 +1215,27 @@ def sgm_wta_fused_pallas(
             if reverse
             else (lambda i, j: (j, i))
         )
-        in_specs = [
-            _SMEM_SPEC,
-            pl.BlockSpec((xc, br, d), im_in, memory_space=pltpu.VMEM),
-        ]
-        args = [bounds, cost_whd]
+        im_2d_hwd = (
+            (lambda i, j: (i, grid_h[1] - 1 - j))
+            if reverse
+            else (lambda i, j: (i, j))
+        )
+        if h_from_hwd:
+            cost_in_spec = pl.BlockSpec((br, xc, d), im_out,
+                                        memory_space=pltpu.VMEM)
+            cost_in = cost
+            map_spec = pl.BlockSpec((br, xc), im_2d_hwd,
+                                    memory_space=pltpu.VMEM)
+        else:
+            cost_in_spec = pl.BlockSpec((xc, br, d), im_in,
+                                        memory_space=pltpu.VMEM)
+            cost_in = cost_whd
+            map_spec = pl.BlockSpec((xc, br), im_2d,
+                                    memory_space=pltpu.VMEM)
+        in_specs = [_SMEM_SPEC, cost_in_spec]
+        args = [bounds, cost_in]
         if adaptive:
-            in_specs.append(
-                pl.BlockSpec((xc, br), im_2d, memory_space=pltpu.VMEM)
-            )
+            in_specs.append(map_spec)
             args.append(p2h_r if reverse else p2h_f)
         if accumulate:
             in_specs.append(
@@ -1203,7 +1245,7 @@ def sgm_wta_fused_pallas(
         body = functools.partial(
             _h_kernel, p1=p1, p2=p2, xc=xc,
             reverse=reverse, accumulate=accumulate, adaptive=adaptive,
-            ct=ct, use_roll=use_roll, out_hwd=hwd,
+            ct=ct, use_roll=use_roll, out_hwd=hwd, in_hwd=h_from_hwd,
         )
         alias = {len(args) - 1: 0} if accumulate else {}
         return pl.pallas_call(
@@ -1304,7 +1346,9 @@ def sgm_wta_fused_pallas(
             interpret=interpret,
         )(*args)
 
-    if cost_whd is None:
+    if h_from_hwd:
+        pass  # h passes read `cost` directly (closed over in h_call)
+    elif cost_whd is None:
         cost_whd = jnp.transpose(cost, (1, 0, 2))
     elif cost_whd.shape != (wp, hp, d):
         raise ValueError(

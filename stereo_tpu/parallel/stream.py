@@ -150,11 +150,20 @@ class StreamRunner:
         tile_cfg: Optional[TileConfig] = None,
         manifest_path: Optional[str] = None,
         lr_stitch: Optional[bool] = None,
+        max_in_flight: int = 2,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.image_shape = image_shape
         self.batch = batch_size or mesh.shape["batch"]
+        # Batches kept in flight before draining (P4 pipelining depth).
+        # 2 suffices on a local host (dispatch is ~us); the remote test
+        # tunnel pays ~25-30 ms of dispatch+fetch latency PER pipeline
+        # call, and a deeper queue is what hides it behind device compute
+        # (the stream-gap accounting in docs/kernels.md: the jitted chunk
+        # pipeline itself sustains 154 fps/chip — the 118 fps round-3 row
+        # was tunnel dispatch, not engine time).
+        self.max_in_flight = max(1, int(max_in_flight))
         if self.batch % mesh.shape["batch"]:
             raise ValueError("batch_size must divide the 'batch' mesh axis")
         self.manifest_path = manifest_path
@@ -245,7 +254,7 @@ class StreamRunner:
                 )
             pending.append((self.pipeline(left, right), left.shape[0]))
             n_this_run += left.shape[0]
-            while len(pending) > 2:
+            while len(pending) > self.max_in_flight:
                 drain_one()
             # >=, not modulo: batch sizes that don't divide
             # checkpoint_every would otherwise postpone the first
@@ -328,7 +337,7 @@ class StreamRunner:
             pending.append((res, n_real))
             # Keep at most two batches in flight: the host stays ahead of
             # the device (P4 overlap) without unbounded queueing.
-            while len(pending) > 2:
+            while len(pending) > self.max_in_flight:
                 drain_one()
 
         t0 = time.perf_counter()

@@ -357,3 +357,31 @@ def test_patch_parts_golden_matches_interpret():
     np.testing.assert_array_equal(
         np.array(pg.lr_bit)[:, cut:], np.array(pi.lr_bit)[:, cut:]
     )
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_fused_h_from_hwd_matches(adaptive):
+    """h_from_hwd (horizontal passes reading the (H,W,D) volume via
+    static sublane slices — no transposed volume at all) must be
+    bit-identical to the default dual-layout form at D=128."""
+    rng = np.random.default_rng(1)
+    h, w, d = 17, 30, 128
+    cost = rng.integers(0, 25, size=(h, w, d)).astype(np.int16)
+    image = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    cfg = StereoConfig(
+        num_disparities=d, num_paths=8, p1=10, p2=120,
+        median_filter=False, adaptive_p2=adaptive, p2_min=17,
+    )
+    base = sgm_wta_fused_pallas(cost, cfg, interpret=True, image=image)
+    alt = sgm_wta_fused_pallas(
+        cost, cfg, interpret=True, image=image, h_from_hwd=True
+    )
+    np.testing.assert_array_equal(np.array(base[1]), np.array(alt[1]))
+    np.testing.assert_array_equal(np.array(base[0]), np.array(alt[0]))
+
+
+def test_fused_h_from_hwd_rejects_small_d():
+    cost = np.zeros((8, 16, 16), np.int16)
+    cfg = StereoConfig(num_disparities=16, num_paths=4, median_filter=False)
+    with pytest.raises(ValueError):
+        sgm_wta_fused_pallas(cost, cfg, interpret=True, h_from_hwd=True)

@@ -41,3 +41,23 @@ def test_ops_table_covers_every_pass():
     assert OPS_PER_VOX["v_up_fused"] > OPS_PER_VOX["v_down"] > (
         OPS_PER_VOX["h_fwd"]
     )
+
+
+def test_per_pass_report_adaptive_rows():
+    """Adaptive-P2 accounting (VERDICT r3 #4): the chain rows run the
+    adaptive kernels and an extra row prices the XLA map precompute."""
+    cfg = PRESETS["kitti_sgm8_128"].replace(
+        num_disparities=16, adaptive_p2=True, p2_min=17
+    )
+    rows = per_pass_report(
+        cfg, shape=(48, 96), iters=2, vpu_peak=1e12, interpret=True
+    )
+    names = [r["pass"] for r in rows]
+    assert names == [
+        "cost", "h_fwd", "h_rev", "v_down+xla_transpose", "v_up_fused",
+        "adaptive_maps_xla", "TOTAL(chain)",
+    ]
+    maps_row = rows[-2]
+    assert maps_row["ms"] > 0
+    assert maps_row["bytes_mb"] > 0
+    assert rows[-1]["adaptive_p2"] is True
