@@ -43,6 +43,13 @@ class StereoConfig:
     p2: int = 120                      # discontinuity penalty
     adaptive_p2: bool = False          # P2 / |dI| scaling (Hirschmueller '08)
     p2_min: int = 30                   # floor for adaptive P2
+    adaptive_grad_floor: int = 0       # sensor-noise floor for adaptive P2:
+    #                                    gradients <= floor count as flat
+    #                                    (full P2). The classic P2/|dI|
+    #                                    collapses smoothing in NOISY flat
+    #                                    regions (sigma=6 noise -> |dI|~7 ->
+    #                                    P2/7); measured on the hard suite
+    #                                    (docs/tuning.md). 0 = classic.
 
     # --- selection / refinement -------------------------------------------
     subpixel: bool = True              # parabola fit around the WTA winner
@@ -155,6 +162,15 @@ class TileConfig:
 
 # ---------------------------------------------------------------------------
 # Named presets matching BASELINE.json:6-12 exactly (SURVEY.md §5).
+#
+# The SGM penalty/gate knobs are TUNED (round 4, VERDICT r3 #1): staged
+# sweeps over the hard adversarial suite (eval/tuning.py; CI scale ->
+# D=64 mid scale -> D=128 bench scale; full methodology + tables in
+# docs/tuning.md). vs the untuned r3 values (p1=10, p2=120, 5x5 census,
+# no gates) at bench scale: textureless 8.8% -> 1.5%, combo 9.8% ->
+# 4.5%, periodic 12.5% -> 3.8%, jitter 3.2% -> 0.7% bad3_noc. The
+# gates trade density on genuinely ambiguous content (invalid rather
+# than wrong; cfg.fill_occlusions recovers coverage when wanted).
 # ---------------------------------------------------------------------------
 
 #: Config 1 — Middlebury Tsukuba pair, block SAD, 16 disparities, WTA.
@@ -172,37 +188,57 @@ TSUKUBA_SAD16 = StereoConfig(
 #: Config 2 — Middlebury half-res (Teddy/Cones), census + 4-path SGM, 64 disp.
 MIDDLEBURY_CENSUS_SGM4_64 = StereoConfig(
     cost_fn="census",
-    census_window=(5, 5),
+    census_window=(9, 7),
     num_disparities=64,
     num_paths=4,
-    p1=10,
+    p1=14,
     p2=120,
+    uniqueness_ratio=0.02,
+    speckle_max_size=80,
     subpixel=True,
     lr_check=True,
 )
 
 #: Config 3 — KITTI 2015 full-res, 8-path SGM, 128 disp + subpixel + LR-check.
 #: The headline speed config (BASELINE.json:2,9): >= 60 fps/chip target.
+#: (9, 7) census rides the same 2-word kernel as (7, 7) but measured
+#: better on noise/periodic content; uniqueness + speckle are the
+#: near-free ambiguity gates (uniqueness is fused in-kernel, speckle is
+#: host-side C++).
 KITTI_SGM8_128 = StereoConfig(
     cost_fn="census",
-    census_window=(5, 5),
+    census_window=(9, 7),
     num_disparities=128,
     num_paths=8,
-    p1=10,
+    p1=14,
     p2=120,
+    uniqueness_ratio=0.02,
+    speckle_max_size=80,
     subpixel=True,
     lr_check=True,
+)
+
+#: Config 3q — the quality variant: + adaptive P2 with a sensor-noise
+#: gradient floor. Clears every hard-suite bar incl. thin structures
+#: (the one scenario fixed P2 cannot fix: the smoothness prior erases
+#: 2-4 px bars; adaptive P2 relaxes it exactly at intensity edges).
+#: Costs ~1/3 of the headline fps (the adaptive kernels' measured tax,
+#: docs/kernels.md).
+KITTI_SGM8_128_QUALITY = KITTI_SGM8_128.replace(
+    adaptive_p2=True, adaptive_grad_floor=12, p2_min=30
 )
 
 #: Config 4 — Middlebury full-res 2880x1988, 256 disp, tiled with halo
 #: exchange (BASELINE.json:10). Pair with TileConfig(mesh_shape=(ty,tx)).
 MIDDLEBURY_FULL_256_TILED = StereoConfig(
     cost_fn="census",
-    census_window=(5, 5),
+    census_window=(9, 7),
     num_disparities=256,
     num_paths=8,
-    p1=10,
+    p1=14,
     p2=120,
+    uniqueness_ratio=0.02,
+    speckle_max_size=80,
     subpixel=True,
     lr_check=True,
 )
@@ -216,6 +252,7 @@ PRESETS = {
     "tsukuba_sad16": TSUKUBA_SAD16,
     "middlebury_census_sgm4_64": MIDDLEBURY_CENSUS_SGM4_64,
     "kitti_sgm8_128": KITTI_SGM8_128,
+    "kitti_sgm8_128_quality": KITTI_SGM8_128_QUALITY,
     "middlebury_full_256_tiled": MIDDLEBURY_FULL_256_TILED,
     "kitti_stream_multihost": KITTI_STREAM_MULTIHOST,
 }

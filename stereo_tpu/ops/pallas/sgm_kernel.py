@@ -123,7 +123,7 @@ def plan_dims(h, w, d):
     return br, hp, xc, wp
 
 
-def _adaptive_maps(image, cfg, h, w, hp, wp, ct, transpose_h=True):
+def _adaptive_maps(image, cfg, h, w, hp, wp, ct):
     """Per-direction effective-P2 maps, padded + laid out for the kernels.
 
     Adaptive P2 (cfg.adaptive_p2, Hirschmueller '08) depends only on the
@@ -134,9 +134,7 @@ def _adaptive_maps(image, cfg, h, w, hp, wp, ct, transpose_h=True):
 
     Returns (h_fwd_t, h_rev_t, v_dn, v_up):
       * h_*_t: (wp, hp) transposed maps matching the horizontal passes'
-        scan layout (predecessors x-1 / x+1) — or (hp, wp) un-transposed
-        when ``transpose_h=False`` (the in_hwd horizontal form reads
-        (H, W)-layout maps directly);
+        scan layout (predecessors x-1 / x+1);
       * v_dn / v_up: (hp, n_maps, wp) row-interleaved stacks ordered
         (vertical, diag A, diag B) — predecessors (y∓1, x), (y∓1, x-1),
         (y∓1, x+1) — shaped so any BH row blocking keeps legal minors.
@@ -152,14 +150,35 @@ def _adaptive_maps(image, cfg, h, w, hp, wp, ct, transpose_h=True):
 
     def m(dy, dx):
         # Integer-valued and small (<= max(P2, p2_min)): exact in f32.
-        full = adaptive_p2_map(image, cfg, dy, dx).astype(ct)
+        return adaptive_p2_map(image, cfg, dy, dx).astype(ct)
+
+    def pad(full):
         return jnp.pad(full, ((0, hp - h), (0, wp - w)))
 
-    h_fwd_t = jnp.transpose(m(0, -1)) if transpose_h else m(0, -1)
-    h_rev_t = jnp.transpose(m(0, +1)) if transpose_h else m(0, +1)
+    # Each direction's map is a SHIFT of its opposite's:
+    # grad_{+r}(p) = |I(p) - I(p + r)| = grad_{-r}(p + r), so only the
+    # four "down/forward" maps run the gradient + division; the four
+    # opposites are one roll each (entries whose predecessor falls
+    # outside the frame are don't-care — the scans fresh-start there —
+    # so the roll's wrap is harmless). Halves the per-frame map
+    # precompute (round-4 adaptive roofline).
+    h_fwd = m(0, -1)
+    h_rev = jnp.roll(h_fwd, -1, axis=1)
+    h_fwd_t = jnp.transpose(pad(h_fwd))
+    h_rev_t = jnp.transpose(pad(h_rev))
     diag = cfg.num_paths == 8
-    dn = [m(-1, 0)] + ([m(-1, -1), m(-1, +1)] if diag else [])
-    up = [m(+1, 0)] + ([m(+1, -1), m(+1, +1)] if diag else [])
+    v0 = m(-1, 0)
+    dn = [v0]
+    up = [jnp.roll(v0, -1, axis=0)]
+    if diag:
+        a = m(-1, -1)
+        b = m(-1, +1)
+        dn += [a, b]
+        # up diag A has predecessor (y+1, x-1) = shift of b = m(-1, +1);
+        # up diag B has predecessor (y+1, x+1) = shift of a = m(-1, -1).
+        up += [jnp.roll(b, (-1, +1), (0, 1)), jnp.roll(a, (-1, -1), (0, 1))]
+    dn = [pad(x) for x in dn]
+    up = [pad(x) for x in up]
     return h_fwd_t, h_rev_t, jnp.stack(dn, axis=1), jnp.stack(up, axis=1)
 
 
@@ -388,18 +407,15 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
         raise NotImplementedError("in_hwd requires the unrolled out_hwd form")
     if out_hwd:
         if adaptive and not seg:
-            if in_hwd:
-                # Maps arrive in (H, W) layout matching the cost block:
-                # each step is a free static lane slice, no relayout.
-                p2b = p2_ref[:]                        # [BR, XC]
-                p2_at = lambda x: p2b[:, x:x + 1]
-            else:
-                # Unrolled steps take static lane slices of ONE
-                # whole-block transpose instead of XC single-row
-                # relayouts. (Packed maps are already lane-shaped;
-                # p2_at above loads them directly.)
-                p2t = jnp.transpose(p2_ref[:])         # [BR, XC]
-                p2_at = lambda x: p2t[:, x:x + 1]
+            # Unrolled steps take static lane slices of ONE whole-block
+            # transpose instead of XC single-row relayouts. (Packed maps
+            # are already lane-shaped; p2_at above loads them directly.)
+            # The maps stay in the TRANSPOSED (wp, hp) layout even under
+            # in_hwd: a 2-D (br, xc) map block violates Mosaic's
+            # 128-divisible-minor rule when xc < 128, while (xc, br) is
+            # always legal.
+            p2t = jnp.transpose(p2_ref[:])             # [BR, XC]
+            p2_at = lambda x: p2t[:, x:x + 1]
         carry = carry_ref[:].astype(ct)
         slabs = [None] * xc
         xs = range(xc - 1, -1, -1) if reverse else range(xc)
@@ -1186,7 +1202,7 @@ def sgm_wta_fused_pallas(
         raise ValueError("h_from_hwd consumes the (H, W, D) volume only")
     if adaptive:
         p2h_f, p2h_r, p2v_dn, p2v_up = _adaptive_maps(
-            image, cfg, h, w, hp, wp, ct, transpose_h=not h_from_hwd
+            image, cfg, h, w, hp, wp, ct
         )
 
     def h_call(reverse, acc, cost_whd):
@@ -1215,23 +1231,18 @@ def sgm_wta_fused_pallas(
             if reverse
             else (lambda i, j: (j, i))
         )
-        im_2d_hwd = (
-            (lambda i, j: (i, grid_h[1] - 1 - j))
-            if reverse
-            else (lambda i, j: (i, j))
-        )
         if h_from_hwd:
             cost_in_spec = pl.BlockSpec((br, xc, d), im_out,
                                         memory_space=pltpu.VMEM)
             cost_in = cost
-            map_spec = pl.BlockSpec((br, xc), im_2d_hwd,
-                                    memory_space=pltpu.VMEM)
         else:
             cost_in_spec = pl.BlockSpec((xc, br, d), im_in,
                                         memory_space=pltpu.VMEM)
             cost_in = cost_whd
-            map_spec = pl.BlockSpec((xc, br), im_2d,
-                                    memory_space=pltpu.VMEM)
+        # Adaptive maps keep the transposed (wp, hp) layout in BOTH
+        # forms (see _h_kernel: (br, xc) 2-D blocks are illegal for
+        # xc < 128).
+        map_spec = pl.BlockSpec((xc, br), im_2d, memory_space=pltpu.VMEM)
         in_specs = [_SMEM_SPEC, cost_in_spec]
         args = [bounds, cost_in]
         if adaptive:

@@ -58,7 +58,11 @@ def _scan_direction(
         l_prev, img_prev = carry
         if use_grad:
             c, prev_valid, img_cur = xs
-            grad = jnp.abs(img_cur - img_prev)
+            # adaptive_grad_floor: gradients at or below the sensor-noise
+            # floor count as flat (full P2) — see adaptive_p2_map.
+            grad = jnp.abs(img_cur - img_prev) - jnp.int32(
+                cfg.adaptive_grad_floor
+            )
             p2_eff = jnp.where(
                 grad > 0,
                 jnp.maximum(jnp.int32(cfg.p2_min), p2 // jnp.maximum(grad, 1)),
@@ -173,12 +177,27 @@ def adaptive_p2_map(image: jnp.ndarray, cfg: StereoConfig, dy: int, dx: int
     """
     img = image.astype(jnp.int32)
     prev = jnp.roll(img, (-dy, -dx), (0, 1))
-    grad = jnp.abs(img - prev)
+    # cfg.adaptive_grad_floor subtracts the sensor-noise floor first:
+    # gradients <= floor count as flat and keep the full P2. The classic
+    # formula (floor 0) divides P2 by the NOISE amplitude in flat regions
+    # (sigma=6 -> |dI| ~ 7 -> P2/7), collapsing exactly the smoothing
+    # that textureless content needs — measured on the hard suite, where
+    # floor 0 made adaptive P2 WORSE than fixed P2 on the textureless
+    # scenario while still winning on thin structures (docs/tuning.md).
+    grad = jnp.abs(img - prev) - jnp.int32(cfg.adaptive_grad_floor)
     p2 = jnp.int32(cfg.p2)
+    # floor(p2 / grad) via f32 reciprocal multiply + one correction step:
+    # TPUs have no integer-divide unit, and the jnp `//` lowering was the
+    # dominant cost of the 8-map per-frame precompute (round-4 adaptive
+    # roofline). Exact for the value range (p2, grad < 2^24): the f32
+    # quotient is within +-1 of floor and the correction removes it —
+    # bit-identical to `p2 // grad` (the golden scan's form).
+    g = jnp.maximum(grad, 1)
+    q = (p2.astype(jnp.float32) / g.astype(jnp.float32)).astype(jnp.int32)
+    r = p2 - q * g
+    q = q + (r >= g).astype(jnp.int32) - (r < 0).astype(jnp.int32)
     return jnp.where(
-        grad > 0,
-        jnp.maximum(jnp.int32(cfg.p2_min), p2 // jnp.maximum(grad, 1)),
-        p2,
+        grad > 0, jnp.maximum(jnp.int32(cfg.p2_min), q), p2
     )
 
 
