@@ -293,8 +293,9 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         ("tsukuba_sad16", "classic", (288, 384), 14, {}, ""),
         ("middlebury_census_sgm4_64", "classic", (555, 900), 48, {}, ""),
         ("kitti_sgm8_128", "pyramid", (375, 1242), 96, {}, ""),
-        ("kitti_sgm8_128", "classic", (375, 1242), 96,
-         {"adaptive_p2": True, "p2_min": 17}, "+adaptiveP2"),
+        # the tuned quality preset (adaptive P2 + gradient noise floor,
+        # docs/tuning.md): the config that clears every hard-suite bar
+        ("kitti_sgm8_128_quality", "classic", (375, 1242), 96, {}, ""),
         # exact-LR: full flipped-pair second pass fused in-kernel
         # (VERDICT r2 #5 / r3 #5 — the measured cost of exactness over
         # the cheap re-index the headline config uses)

@@ -45,14 +45,25 @@ from .sgm_kernel import plan_dims
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * (1 << 20))
 
 
-def _popcount(x: jnp.ndarray) -> jnp.ndarray:
-    """SWAR popcount of a uint32 array (Mosaic-safe, no multiply)."""
+def _popcount_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """SWAR stages 1-3: per-byte bit counts (each byte <= 8)."""
     x = x - ((x >> 1) & jnp.uint32(0x55555555))
     x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
-    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+
+
+def _popcount_fold(x: jnp.ndarray) -> jnp.ndarray:
+    """Final byte-sum fold. Valid for per-byte values < 64 (i.e. sums of
+    up to 7 words' stage-3 partials), so multi-word census pays ONE fold:
+    popcount(a) + popcount(b) == fold(bytes(a) + bytes(b))."""
     x = x + (x >> 8)
     x = x + (x >> 16)
-    return (x & jnp.uint32(0x3F)).astype(jnp.int32)
+    return (x & jnp.uint32(0xFF)).astype(jnp.int32)
+
+
+def _popcount(x: jnp.ndarray) -> jnp.ndarray:
+    """SWAR popcount of a uint32 array (Mosaic-safe, no multiply)."""
+    return _popcount_fold(_popcount_bytes(x))
 
 
 def _hankel_doubling(ctx_row: jnp.ndarray, base: int, rows: int,
@@ -156,7 +167,10 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
     rows = []
     rows_t = []
     for r in range(bh):
-        pc = jnp.zeros((d, xc), jnp.int32)
+        # Multi-word Hamming sums the per-byte SWAR partials across words
+        # and folds ONCE (valid for <= 7 words; saves the per-word fold).
+        pc = jnp.zeros((d, xc), jnp.uint32 if combine == "hamming"
+                       else jnp.int32)
         for k in range(words):
             if fanout == "doubling" and d & (d - 1) == 0:
                 shifted = _hankel_doubling(
@@ -175,9 +189,11 @@ def _cost_kernel(b_ref, cl_ref, cr_cur_ref, cr_prev_ref, out_ref, out_t_ref,
             win = shifted[:, xc : 2 * xc]                   # [D, XC]
             clr = jnp.broadcast_to(cl_ref[k][r : r + 1], (d, xc))
             if combine == "hamming":
-                pc = pc + _popcount(jnp.bitwise_xor(clr, win))
+                pc = pc + _popcount_bytes(jnp.bitwise_xor(clr, win))
             else:  # absdiff (rank descriptors, int32)
                 pc = pc + jnp.abs(clr - win)
+        if combine == "hamming":
+            pc = _popcount_fold(pc)
         pc = jnp.where(invalid, maxc, pc).astype(out_ref.dtype)
         rows.append(pc.T[None])                             # [1, XC, D]
         if emit_t:
@@ -246,7 +262,9 @@ def _cost_kernel_x(b_ref, cl_ref, crv_cur_ref, crv_nxt_ref, out_ref,
     rows = []
     rows_t = []
     for r in range(bh):
-        pc = jnp.zeros((xc, d), jnp.int32)
+        # Multi-word Hamming: per-byte partial sums, one fold (see above).
+        pc = jnp.zeros((xc, d), jnp.uint32 if combine == "hamming"
+                       else jnp.int32)
         for k in range(words):
             if fanout == "doubling" and xc & (xc - 1) == 0:
                 shifted = _hankel_doubling(
@@ -266,9 +284,11 @@ def _cost_kernel_x(b_ref, cl_ref, crv_cur_ref, crv_nxt_ref, out_ref,
             b = shifted[:, :d]                                  # [XC, D]
             clc = jnp.broadcast_to(clts[k][:, r : r + 1], (xc, d))
             if combine == "hamming":
-                pc = pc + _popcount(jnp.bitwise_xor(clc, b))
+                pc = pc + _popcount_bytes(jnp.bitwise_xor(clc, b))
             else:  # absdiff (rank descriptors, int32)
                 pc = pc + jnp.abs(clc - b)
+        if combine == "hamming":
+            pc = _popcount_fold(pc)
         pc = jnp.where(invalid, maxc, pc).astype(out_ref.dtype)
         rows.append(pc[None])                                   # [1, XC, D]
         if emit_t:

@@ -87,6 +87,11 @@ _BR_CAP = 128
 _XC = 64
 _V_BLOCK_BYTES = 2 << 20
 _V_BH_CAP = 8
+#: Row block of the fused v-up pass. Must be a multiple of 8 (2-D output
+#: blocks need an 8-divisible second-to-last dim); values > 8 amortize
+#: the per-grid-step setup (adaptive map relayout, carry reloads) over
+#: more rows at higher VMEM residency. Swept on hardware round 4.
+_V_FUSED_BH = 8
 #: Lane-pack small-D volumes (G = 128/D scanlines or x per lane group);
 #: module knob so hardware sweeps can compare against the unpacked path.
 _PACK_SMALL_D = True
@@ -1308,9 +1313,13 @@ def sgm_wta_fused_pallas(
         )(*args)
 
     def v_up_fused(acc):
-        # bh is forced to 8 here: the 2D output blocks [BH, W] need an
-        # 8-divisible second-to-last dim (hp is a multiple of 8 by plan).
-        bhf = 8 if hp % 8 == 0 else 1
+        # The 2D output blocks [BH, W] need an 8-divisible second-to-last
+        # dim (hp is a multiple of 8 by plan); _V_FUSED_BH picks the
+        # multiple, falling back to 8 (then 1) when it doesn't divide hp.
+        if _V_FUSED_BH % 8 == 0 and hp % _V_FUSED_BH == 0:
+            bhf = _V_FUSED_BH
+        else:
+            bhf = 8 if hp % 8 == 0 else 1
         nbf = hp // bhf
         im3 = lambda i: (nbf - 1 - i, 0, 0)
         im2 = lambda i: (nbf - 1 - i, 0)
