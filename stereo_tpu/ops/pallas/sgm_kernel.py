@@ -90,8 +90,11 @@ _V_BH_CAP = 8
 #: Row block of the fused v-up pass. Must be a multiple of 8 (2-D output
 #: blocks need an 8-divisible second-to-last dim); values > 8 amortize
 #: the per-grid-step setup (adaptive map relayout, carry reloads) over
-#: more rows at higher VMEM residency. Swept on hardware round 4.
-_V_FUSED_BH = 8
+#: more rows at higher VMEM residency. Hardware sweep (round 4, KITTI
+#: D=128, ms/frame full chain): fixed 7.47/7.34/7.35/7.28 and adaptive
+#: 10.23/10.00/9.93/9.90 at bh 8/16/24/32 — bit-identical throughout;
+#: 32 adopted.
+_V_FUSED_BH = 32
 #: Lane-pack small-D volumes (G = 128/D scanlines or x per lane group);
 #: module knob so hardware sweeps can compare against the unpacked path.
 _PACK_SMALL_D = True
