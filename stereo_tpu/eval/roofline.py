@@ -61,6 +61,9 @@ from ..utils.timing import chained_seconds_per_call
 HBM_PEAK_GBPS = 819.0  # TPU v5e
 
 # Elementwise-op counts per PADDED voxel, per the header derivation.
+# "cost" is the 1-word (5x5 census) count; multi-word descriptors add
+# ~7 ops/voxel/word (XOR + per-byte SWAR stages; the final fold is paid
+# once thanks to the round-4 byte-partial fusion) — see cost_ops_per_vox.
 OPS_PER_VOX = {
     "cost": 14.0,
     "h_fwd": 19.0,
@@ -68,6 +71,11 @@ OPS_PER_VOX = {
     "v_down": 55.0,
     "v_up_fused": 141.0,
 }
+
+
+def cost_ops_per_vox(words: int) -> float:
+    """Census cost-kernel ops/voxel for a ``words``-word descriptor."""
+    return 7.0 * words + 7.0
 
 
 def measure_vpu_peak(iters: int = 30, interpret: bool = False) -> float:
@@ -237,7 +245,8 @@ def per_pass_report(
     # (and flag it) rather than misreport v_down as far from bound.
     t_xpose = 0 if hwd else 2 * nvox * ai
     stage_list = [
-        ("cost", 2 * h * w + 2 * nvox * ci, OPS_PER_VOX["cost"] * nvox),
+        ("cost", 2 * h * w + 2 * nvox * ci,
+         cost_ops_per_vox(cfg.census_words) * nvox),
         ("h_fwd", nvox * ci + nvox * ai, OPS_PER_VOX["h_fwd"] * nvox),
         ("h_rev", nvox * ci + 2 * nvox * ai, OPS_PER_VOX["h_rev"] * nvox),
         ("v_down" if hwd else "v_down+xla_transpose",

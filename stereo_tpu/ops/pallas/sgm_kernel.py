@@ -92,9 +92,11 @@ _V_BH_CAP = 8
 #: the per-grid-step setup (adaptive map relayout, carry reloads) over
 #: more rows at higher VMEM residency. Hardware sweep (round 4, KITTI
 #: D=128, ms/frame full chain): fixed 7.47/7.34/7.35/7.28 and adaptive
-#: 10.23/10.00/9.93/9.90 at bh 8/16/24/32 — bit-identical throughout;
-#: 32 adopted.
-_V_FUSED_BH = 32
+#: 10.23/10.00/9.93/9.90 at bh 8/16/24/32 — bit-identical throughout.
+#: 32 OOMed the 100 MB scoped-VMEM budget inside the FULL pipeline
+#: program (117.6 MB: the unrolled epilogue keeps ~6 [W, D] f32 temps
+#: live per row), so 16 ships — most of the gain at half the residency.
+_V_FUSED_BH = 16
 #: Lane-pack small-D volumes (G = 128/D scanlines or x per lane group);
 #: module knob so hardware sweeps can compare against the unpacked path.
 _PACK_SMALL_D = True
