@@ -1321,9 +1321,16 @@ def sgm_wta_fused_pallas(
         # The 2D output blocks [BH, W] need an 8-divisible second-to-last
         # dim (hp is a multiple of 8 by plan); _V_FUSED_BH picks the
         # multiple, falling back to 8 (then 1) when it doesn't divide hp.
-        if _V_FUSED_BH % 8 == 0 and hp % _V_FUSED_BH == 0:
-            bhf = _V_FUSED_BH
-        else:
+        # The block must also respect a byte budget: the unrolled
+        # epilogue keeps ~6 [W, D] f32 temporaries live per row, so wide
+        # volumes (config-4 D=256 patches) at bh=16 blew the compile
+        # helper / scoped VMEM — shrink toward 8 until the S block fits
+        # ~6 MB (bh=16 at KITTI D=128 passes; 32 already OOMed there).
+        bhf = _V_FUSED_BH
+        while bhf > 8 and (bhf % 8 or hp % bhf
+                           or bhf * wp * d * max(dt.itemsize, 2) > (6 << 20)):
+            bhf -= 8
+        if bhf < 8 or hp % bhf:
             bhf = 8 if hp % 8 == 0 else 1
         nbf = hp // bhf
         im3 = lambda i: (nbf - 1 - i, 0, 0)
