@@ -80,11 +80,26 @@ def cost_ops_per_vox(words: int) -> float:
 
 def measure_vpu_peak(iters: int = 30, interpret: bool = False) -> float:
     """Achievable f32 elementwise ops/s on this chip (same timer as the
-    pass measurements).
+    pass measurements). Takes the BEST of two differently-shaped anchor
+    programs: round 4 saw a single anchor compile land at 520-715 GOPS
+    on the same part that measured ~3900 in round 3 (an unlucky
+    schedule/compile is a one-sided error — the peak is a max, so the
+    max over independent programs is the robust estimator).
+    """
+    return max(
+        _measure_vpu_peak_one(iters, interpret, 512, 256),
+        _measure_vpu_peak_one(iters, interpret, 256, 512),
+    )
 
-    A Pallas kernel keeps each [512, 128] block register/VMEM-resident
-    and applies K=256 dependent (add + min) op pairs before writing back
-    — 512 ops per element per HBM round trip, so the measured rate is the
+
+def _measure_vpu_peak_one(
+    iters: int, interpret: bool, rows: int, k: int
+) -> float:
+    """One anchor program (see measure_vpu_peak).
+
+    A Pallas kernel keeps each [rows, 128] block register/VMEM-resident
+    and applies K dependent (add + min) op pairs before writing back
+    — 2K ops per element per HBM round trip, so the measured rate is the
     vector unit's, not the memory system's. (A plain XLA elementwise
     chain of the same ops did NOT fuse: it timed exactly 819 GB/s of HBM
     sweeps — 209 "GOPS" — which is how the r2 single-number roofline went
@@ -92,8 +107,7 @@ def measure_vpu_peak(iters: int = 30, interpret: bool = False) -> float:
     """
     from jax.experimental import pallas as pl
 
-    k = 256
-    rows, cols, blocks = 512, 128, 64
+    cols, blocks = 128, 64
 
     def kernel(x_ref, o_ref):
         # 4 independent accumulator chains: a single serial chain measured
