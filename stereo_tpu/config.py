@@ -63,6 +63,14 @@ class StereoConfig:
     # --- post-filter -------------------------------------------------------
     median_filter: bool = True         # 3x3 median on the disparity map
     speckle_max_size: int = 0          # 0 disables speckle removal
+    speckle_rel: float = 0.0           # resolution-relative speckle size:
+    #                                    fraction of H*W; the effective
+    #                                    size is max(speckle_max_size,
+    #                                    round(speckle_rel * H * W)) —
+    #                                    blob areas scale with resolution,
+    #                                    so a fixed pixel count tuned at
+    #                                    suite scale under-removes at
+    #                                    full res (docs/tuning.md).
     speckle_tau: float = 2.0
     fill_occlusions: bool = False      # fill invalid pixels from row
     #                                    neighbors (Hirschmueller LR fill,

@@ -110,6 +110,23 @@ def _v_block_rows(hp, wp, d, itemsize):
     return bh
 
 
+def _fused_block_rows(hp, wp, d, itemsize):
+    """Row block of the fused v-up pass (see _V_FUSED_BH).
+
+    Multiple of 8 dividing hp, shrunk until the S block fits ~6 MB: the
+    unrolled epilogue keeps ~6 [W, D] f32 temporaries live per row, so
+    wide volumes at bh=16 blew the compile helper / scoped VMEM
+    (config-4 D=256 patches) while bh=16 at KITTI D=128 passes.
+    """
+    bhf = _V_FUSED_BH
+    while bhf > 8 and (bhf % 8 or hp % bhf
+                       or bhf * wp * d * max(itemsize, 2) > (6 << 20)):
+        bhf -= 8
+    if bhf < 8 or hp % bhf:
+        bhf = 8 if hp % 8 == 0 else 1
+    return bhf
+
+
 def plan_dims(h, w, d):
     """Shared padding plan for the cost + SGM kernels.
 
@@ -1318,20 +1335,7 @@ def sgm_wta_fused_pallas(
         )(*args)
 
     def v_up_fused(acc):
-        # The 2D output blocks [BH, W] need an 8-divisible second-to-last
-        # dim (hp is a multiple of 8 by plan); _V_FUSED_BH picks the
-        # multiple, falling back to 8 (then 1) when it doesn't divide hp.
-        # The block must also respect a byte budget: the unrolled
-        # epilogue keeps ~6 [W, D] f32 temporaries live per row, so wide
-        # volumes (config-4 D=256 patches) at bh=16 blew the compile
-        # helper / scoped VMEM — shrink toward 8 until the S block fits
-        # ~6 MB (bh=16 at KITTI D=128 passes; 32 already OOMed there).
-        bhf = _V_FUSED_BH
-        while bhf > 8 and (bhf % 8 or hp % bhf
-                           or bhf * wp * d * max(dt.itemsize, 2) > (6 << 20)):
-            bhf -= 8
-        if bhf < 8 or hp % bhf:
-            bhf = 8 if hp % 8 == 0 else 1
+        bhf = _fused_block_rows(hp, wp, d, dt.itemsize)
         nbf = hp // bhf
         im3 = lambda i: (nbf - 1 - i, 0, 0)
         im2 = lambda i: (nbf - 1 - i, 0)

@@ -631,11 +631,18 @@ def host_postprocess(disp, valid, cfg: StereoConfig):
 
     disp = np.asarray(disp)
     valid = np.asarray(valid)
-    if cfg.speckle_max_size > 0:
+    # Resolution-relative speckle size: blob areas scale with resolution,
+    # so cfg.speckle_rel expresses the threshold as a fraction of H*W
+    # (max'ed with the absolute knob; either alone may be 0).
+    speckle = max(
+        cfg.speckle_max_size,
+        int(round(cfg.speckle_rel * disp.shape[0] * disp.shape[1])),
+    )
+    if speckle > 0:
         from ..native import filter_speckles
 
         disp, valid, _ = filter_speckles(
-            disp, valid, cfg.speckle_tau, cfg.speckle_max_size
+            disp, valid, cfg.speckle_tau, speckle
         )
     if cfg.fill_occlusions:
         from ..native import fill_invalid_lr

@@ -221,3 +221,27 @@ def test_pallas_sgm_adaptive_p2_lane_packed(paths):
     ).astype(np.int32)
     want = np.array(sgm_aggregate(cost, cfg, image=img))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_block_rows_respects_budget_and_divisibility():
+    """The fused v-up block must divide hp, stay a multiple of 8 (2-D
+    output tiling), and keep the S block under the ~6 MB budget whose
+    violation crashed the remote Mosaic helper at config-4 scale
+    (round 4)."""
+    from stereo_tpu.ops.pallas.sgm_kernel import (
+        _V_FUSED_BH,
+        _fused_block_rows,
+    )
+
+    # KITTI scale: the swept 16-row block survives the budget
+    assert _fused_block_rows(384, 1280, 128, 2) == _V_FUSED_BH
+    # config-4-like wide D=256 patches: must shrink to 8
+    bhf = _fused_block_rows(1988 + (8 - 1988 % 8) % 8, 1568, 256, 2)
+    assert bhf == 8
+    for hp, wp, d, isz in [(384, 1280, 128, 2), (1992, 1568, 256, 2),
+                           (24, 160, 16, 2), (17, 96, 16, 2)]:
+        bhf = _fused_block_rows(hp, wp, d, isz)
+        assert hp % bhf == 0
+        assert bhf == 1 or bhf % 8 == 0
+        if bhf > 8:
+            assert bhf * wp * d * max(isz, 2) <= (6 << 20)

@@ -161,3 +161,32 @@ def test_sad_rank_pallas_paths_bit_identical(cfg):
     )
     np.testing.assert_array_equal(np.array(g.disp), np.array(p.disp))
     np.testing.assert_array_equal(np.array(g.valid), np.array(p.valid))
+
+
+def test_speckle_rel_scales_with_resolution():
+    """cfg.speckle_rel expresses the speckle threshold as a fraction of
+    H*W: at the same fraction, the small and large frames must remove
+    blobs proportionally (a fixed pixel count tuned at suite scale
+    under-removes at full res — docs/tuning.md)."""
+    import numpy as np
+
+    from stereo_tpu.config import StereoConfig
+    from stereo_tpu.pipeline.pipeline import host_postprocess
+
+    def frame(h, w, blob):
+        disp = np.zeros((h, w), np.float32)
+        valid = np.ones((h, w), bool)
+        disp[2 : 2 + blob, 2 : 2 + blob] = 30.0  # isolated wrong blob
+        return disp, valid
+
+    cfg = StereoConfig(speckle_rel=0.01, speckle_tau=2.0)
+    # small frame: 6x6=36 blob > 1% of 40x60=24 -> kept
+    d, v = host_postprocess(*frame(40, 60, 6), cfg)
+    assert v[4, 4]
+    # large frame: same 36-px blob < 1% of 120x180=216 -> removed
+    d, v = host_postprocess(*frame(120, 180, 6), cfg)
+    assert not v[4, 4]
+    # absolute knob still max'es in
+    cfg2 = StereoConfig(speckle_max_size=50, speckle_rel=0.0001)
+    d, v = host_postprocess(*frame(40, 60, 6), cfg2)
+    assert not v[4, 4]
