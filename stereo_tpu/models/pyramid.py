@@ -182,11 +182,21 @@ class PyramidSGM(StereoModel):
         self,
         cfg: StereoConfig = KITTI_SGM8_128,
         residual_range: int = 16,
+        census_window=(5, 5),
     ):
+        """``census_window`` (None = inherit cfg's): the pyramid is the
+        speed-trade model and defaults to the 1-word 5x5 descriptor —
+        the round-4 tuned presets moved to a 2-word 9x7 census whose
+        extra word roughly doubles both the coarse cost pass and the
+        residual MXU gather (nch chunks scale with words), while the
+        pyramid's quality is dominated by its own approximation
+        artifacts, not descriptor bits."""
         super().__init__(cfg)
         if residual_range % 2:
             raise ValueError("residual_range must be even")
         self.residual_range = residual_range
+        if census_window is not None:
+            self.cfg = self.cfg.replace(census_window=census_window)
 
     def _forward(self, left, right):
         cfg = self.cfg
