@@ -292,6 +292,9 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
     runs = [
         ("tsukuba_sad16", "classic", (288, 384), 14, {}, ""),
         ("middlebury_census_sgm4_64", "classic", (555, 900), 48, {}, ""),
+        # the pyramid is the speed-trade model: it opts into the 1-word
+        # 5x5 descriptor explicitly (PyramidSGM inherits cfg's window by
+        # default since r5 — ADVICE r4)
         ("kitti_sgm8_128", "pyramid", (375, 1242), 96, {}, ""),
         # the tuned quality preset (adaptive P2 + gradient noise floor,
         # docs/tuning.md): the config that clears every hard-suite bar
@@ -310,7 +313,8 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         cfg = PRESETS[preset].replace(**overrides) if overrides else PRESETS[preset]
         pair = make_pair(shape, max_disp=max_disp, kind="shapes",
                          texture="cloud", seed=0)
-        model = get_model(model_name, cfg=cfg)
+        mkw = {"census_window": (5, 5)} if model_name == "pyramid" else {}
+        model = get_model(model_name, cfg=cfg, **mkw)
         fn = model.build()
         sec = chained_seconds_per_call(
             lambda l, r: fn(l, r), (pair.left, pair.right), iters=30

@@ -202,7 +202,7 @@ MIDDLEBURY_CENSUS_SGM4_64 = StereoConfig(
     p1=14,
     p2=120,
     uniqueness_ratio=0.02,
-    speckle_max_size=80,
+    speckle_rel=80 / (160 * 288),
     subpixel=True,
     lr_check=True,
 )
@@ -212,7 +212,11 @@ MIDDLEBURY_CENSUS_SGM4_64 = StereoConfig(
 #: (9, 7) census rides the same 2-word kernel as (7, 7) but measured
 #: better on noise/periodic content; uniqueness + speckle are the
 #: near-free ambiguity gates (uniqueness is fused in-kernel, speckle is
-#: host-side C++).
+#: host-side C++). Speckle ships RESOLUTION-RELATIVE (VERDICT r4 #1):
+#: the round-4 sweeps landed on 80 px at the 160x288 suite scale, and
+#: blob areas scale with H*W — an absolute 80 under-removes 10x at
+#: full KITTI res (docs/tuning.md). speckle_rel keeps the tuned
+#: fraction at every resolution (same 80 px at suite scale, bit-for-bit).
 KITTI_SGM8_128 = StereoConfig(
     cost_fn="census",
     census_window=(9, 7),
@@ -221,7 +225,7 @@ KITTI_SGM8_128 = StereoConfig(
     p1=14,
     p2=120,
     uniqueness_ratio=0.02,
-    speckle_max_size=80,
+    speckle_rel=80 / (160 * 288),
     subpixel=True,
     lr_check=True,
 )
@@ -246,7 +250,7 @@ MIDDLEBURY_FULL_256_TILED = StereoConfig(
     p1=14,
     p2=120,
     uniqueness_ratio=0.02,
-    speckle_max_size=80,
+    speckle_rel=80 / (160 * 288),
     subpixel=True,
     lr_check=True,
 )

@@ -182,15 +182,16 @@ class PyramidSGM(StereoModel):
         self,
         cfg: StereoConfig = KITTI_SGM8_128,
         residual_range: int = 16,
-        census_window=(5, 5),
+        census_window=None,
     ):
-        """``census_window`` (None = inherit cfg's): the pyramid is the
-        speed-trade model and defaults to the 1-word 5x5 descriptor —
-        the round-4 tuned presets moved to a 2-word 9x7 census whose
-        extra word roughly doubles both the coarse cost pass and the
-        residual MXU gather (nch chunks scale with words), while the
-        pyramid's quality is dominated by its own approximation
-        artifacts, not descriptor bits."""
+        """``census_window``: None (default) inherits ``cfg``'s window —
+        an explicitly passed config is never silently overridden
+        (ADVICE r4). Speed-trade callers opt into the 1-word ``(5, 5)``
+        descriptor explicitly (bench.py's pyramid row does): the tuned
+        presets' 2-word 9x7 census roughly doubles both the coarse cost
+        pass and the residual MXU gather (nch chunks scale with words),
+        while the pyramid's quality is dominated by its own
+        approximation artifacts, not descriptor bits."""
         super().__init__(cfg)
         if residual_range % 2:
             raise ValueError("residual_range must be even")

@@ -113,10 +113,17 @@ def _v_block_rows(hp, wp, d, itemsize):
 def _fused_block_rows(hp, wp, d, itemsize):
     """Row block of the fused v-up pass (see _V_FUSED_BH).
 
-    Multiple of 8 dividing hp, shrunk until the S block fits ~6 MB: the
-    unrolled epilogue keeps ~6 [W, D] f32 temporaries live per row, so
-    wide volumes at bh=16 blew the compile helper / scoped VMEM
+    Multiple of 8 dividing hp, shrunk toward the ~6 MB S-block budget:
+    the unrolled epilogue keeps ~6 [W, D] f32 temporaries live per row,
+    so wide volumes at bh=16 blew the compile helper / scoped VMEM
     (config-4 D=256 patches) while bh=16 at KITTI D=128 passes.
+
+    8 is the FLOOR regardless of the byte budget (ADVICE r4): an 8-row
+    block is the smallest legal 2-D output tile, so very wide volumes
+    (e.g. config-4 D=256 at wp~2944: 8*2944*256*2 ~= 12 MB) ship over
+    budget — the budget trades speed for residency, it is not a VMEM
+    guarantee; callers above the Mosaic ceiling split the frame
+    (parallel/bands.py) instead.
     """
     bhf = _V_FUSED_BH
     while bhf > 8 and (bhf % 8 or hp % bhf

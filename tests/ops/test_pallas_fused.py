@@ -136,9 +136,15 @@ def test_fused_int8_cost_int16_acc_matches_golden():
 
 
 @pytest.mark.parametrize("paths", [4, 8])
-def test_fused_adaptive_p2_matches_golden(paths):
+@pytest.mark.parametrize("grad_floor", [0, 12])
+def test_fused_adaptive_p2_matches_golden(paths, grad_floor):
     """Adaptive P2 through the fused kernel: the per-direction effective-P2
-    maps feed all passes including the fused bottom-up epilogue."""
+    maps feed all passes including the fused bottom-up epilogue.
+
+    grad_floor=12 exercises the shipped quality preset's sensor-noise
+    floor through the Pallas-vs-golden path (ADVICE r4: the floor logic
+    lives in two ops/sgm.py sites edited in lockstep; a divergence must
+    not go uncaught)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(paths + 40)
@@ -147,7 +153,7 @@ def test_fused_adaptive_p2_matches_golden(paths):
     img = jnp.asarray(rng.integers(0, 255, size=(h, w)).astype(np.uint8))
     cfg = StereoConfig(
         num_disparities=d, num_paths=paths, p1=7, p2=100,
-        adaptive_p2=True, p2_min=17,
+        adaptive_p2=True, p2_min=17, adaptive_grad_floor=grad_floor,
         subpixel=True, lr_check=True, median_filter=False,
     )
     disp, valid = sgm_wta_fused_pallas(cost, cfg, interpret=True, image=img)
@@ -160,9 +166,11 @@ def test_fused_adaptive_p2_matches_golden(paths):
     np.testing.assert_allclose(np.array(disp), np.array(g_disp), atol=1e-5)
 
 
-def test_pipeline_adaptive_p2_dispatch_matches_golden():
+@pytest.mark.parametrize("grad_floor", [0, 12])
+def test_pipeline_adaptive_p2_dispatch_matches_golden(grad_floor):
     """End-to-end adaptive-P2 config through the pallas_interpret backend
-    (the pipeline threads the reference image into the fused kernels)."""
+    (the pipeline threads the reference image into the fused kernels);
+    grad_floor=12 covers the quality preset's noise floor (ADVICE r4)."""
     from stereo_tpu.pipeline.pipeline import compute_disparity
 
     rng = np.random.default_rng(9)
@@ -172,6 +180,7 @@ def test_pipeline_adaptive_p2_dispatch_matches_golden():
     cfg = StereoConfig(
         cost_fn="census", census_window=(5, 5), num_disparities=16,
         num_paths=8, p1=10, p2=120, adaptive_p2=True, p2_min=25,
+        adaptive_grad_floor=grad_floor,
         subpixel=True, lr_check=True, median_filter=True,
     )
     fast = compute_disparity(

