@@ -60,6 +60,18 @@ from ..utils.timing import chained_seconds_per_call
 
 HBM_PEAK_GBPS = 819.0  # TPU v5e
 
+#: DERIVED theoretical VPU peak (VERDICT r4 #3): 8 sublanes x 128 lanes
+#: x 4 ALUs x ~0.94 GHz ~= 3.85 f32 Tops/s on v5e. The measured anchor
+#: (measure_vpu_peak) collapsed 3x between rounds 3 and 4 on the SAME
+#: part (a helper-toolchain scheduling change degraded the synthetic
+#: dependent-chain pattern while the production kernels kept sustaining
+#: 3.4 counted TOPS) — so sol_fraction is now computed against this
+#: FIXED reference and can never silently float with the anchor;
+#: the measured anchor is still reported as a diagnostic and
+#: sol_fraction_measured uses max(measured, derived) (one-sided error:
+#: an anchor can only under-measure the true peak).
+VPU_PEAK_DERIVED = 8 * 128 * 4 * 0.94e9
+
 # Elementwise-op counts per PADDED voxel, per the header derivation.
 # "cost" is the 1-word (5x5 census) count; multi-word descriptors add
 # ~7 ops/voxel/word (XOR + per-byte SWAR stages; the final fold is paid
@@ -78,52 +90,65 @@ def cost_ops_per_vox(words: int) -> float:
     return 7.0 * words + 7.0
 
 
-def measure_vpu_peak(iters: int = 30, interpret: bool = False) -> float:
+def measure_vpu_peak(iters: int = 30, interpret: bool = False,
+                     sweep: bool = False) -> float:
     """Achievable f32 elementwise ops/s on this chip (same timer as the
-    pass measurements). Takes the BEST of two differently-shaped anchor
-    programs: round 4 saw a single anchor compile land at 520-715 GOPS
-    on the same part that measured ~3900 in round 3 (an unlucky
-    schedule/compile is a one-sided error — the peak is a max, so the
-    max over independent programs is the robust estimator).
+    pass measurements). Takes the BEST over differently-shaped anchor
+    programs and ILP widths: round 4 saw a single anchor compile land at
+    520-715 GOPS on the same part that measured ~3900 in round 3 (an
+    unlucky schedule/compile is a one-sided error — the peak is a max,
+    so the max over independent programs is the robust estimator).
+    ``sweep=True`` widens the program set (VERDICT r4 #3 diagnosis runs).
+
+    NOTE the reported fractions of record use VPU_PEAK_DERIVED — this
+    measurement can only ever under-estimate the true peak, so it is a
+    diagnostic, not the anchor (see docs/kernels.md round-5 note).
     """
-    return max(
-        _measure_vpu_peak_one(iters, interpret, 512, 256),
-        _measure_vpu_peak_one(iters, interpret, 256, 512),
-    )
+    variants = [(512, 256, 4), (256, 512, 4)]
+    if sweep:
+        variants += [(512, 256, 8), (512, 512, 8), (256, 256, 16),
+                     (512, 256, 2)]
+    best = 0.0
+    for rows, k, chains in variants:
+        gops = _measure_vpu_peak_one(iters, interpret, rows, k, chains)
+        print(json.dumps({
+            "anchor_rows": rows, "anchor_k": k, "anchor_chains": chains,
+            "gops": round(gops / 1e9, 1),
+        }), flush=True)
+        best = max(best, gops)
+    return best
 
 
 def _measure_vpu_peak_one(
-    iters: int, interpret: bool, rows: int, k: int
+    iters: int, interpret: bool, rows: int, k: int, chains: int = 4
 ) -> float:
     """One anchor program (see measure_vpu_peak).
 
     A Pallas kernel keeps each [rows, 128] block register/VMEM-resident
-    and applies K dependent (add + min) op pairs before writing back
-    — 2K ops per element per HBM round trip, so the measured rate is the
-    vector unit's, not the memory system's. (A plain XLA elementwise
-    chain of the same ops did NOT fuse: it timed exactly 819 GB/s of HBM
-    sweeps — 209 "GOPS" — which is how the r2 single-number roofline went
-    wrong.)
+    and applies K dependent (add + min) op pairs spread over ``chains``
+    independent accumulator chains before writing back — 2K ops per
+    element per HBM round trip, so the measured rate is the vector
+    unit's, not the memory system's. (A plain XLA elementwise chain of
+    the same ops did NOT fuse: it timed exactly 819 GB/s of HBM sweeps —
+    209 "GOPS" — which is how the r2 single-number roofline went wrong.
+    A single serial chain measured 0.73 TOPS on v5e — ALU latency
+    exposed — so the anchor needs ILP like the production kernels'.)
     """
     from jax.experimental import pallas as pl
 
     cols, blocks = 128, 64
 
     def kernel(x_ref, o_ref):
-        # 4 independent accumulator chains: a single serial chain measured
-        # 0.73 TOPS on v5e (ALU latency exposed); the production kernels
-        # reach 2.9-4.3 TOPS, so the anchor must exhibit the same ILP.
         x = x_ref[:]
-        a = x
-        b = x + 0.5
-        c = x + 0.25
-        e = x + 0.75
-        for _ in range(k // 4):
-            a = jnp.minimum(a + 1.0, jnp.float32(3e38))
-            b = jnp.minimum(b + 1.0, jnp.float32(3e38))
-            c = jnp.minimum(c + 1.0, jnp.float32(3e38))
-            e = jnp.minimum(e + 1.0, jnp.float32(3e38))
-        o_ref[:] = a + b + c + e
+        accs = [x + jnp.float32(i) * 0.25 for i in range(chains)]
+        for _ in range(k // chains):
+            accs = [
+                jnp.minimum(a + 1.0, jnp.float32(3e38)) for a in accs
+            ]
+        tot = accs[0]
+        for a in accs[1:]:
+            tot = tot + a
+        o_ref[:] = tot
 
     def run(x):
         return pl.pallas_call(
@@ -138,7 +163,7 @@ def _measure_vpu_peak_one(
 
     x = jnp.ones((rows * blocks, cols), jnp.float32)
     sec = chained_seconds_per_call(jax.jit(run), (x,), iters=iters)
-    return 2.0 * k * rows * cols * blocks / sec
+    return 2.0 * (k // chains) * chains * rows * cols * blocks / sec
 
 
 def per_pass_report(
@@ -278,7 +303,12 @@ def per_pass_report(
         sec = prefix_sec[i] - (prefix_sec[i - 1] if i else 0.0)
         sec = max(sec, 1e-9)
         t_bytes = nbytes / (HBM_PEAK_GBPS * 1e9)
-        t_ops = nops / vpu_peak
+        # sol_fraction of record anchors on the FIXED derived peak
+        # (VERDICT r4 #3: the measured anchor proved toolchain-unstable);
+        # the measured anchor contributes only one-sidedly via
+        # max(measured, derived) in sol_fraction_measured.
+        t_ops = nops / VPU_PEAK_DERIVED
+        eff_peak = max(vpu_peak, VPU_PEAK_DERIVED)
         bound = "vpu" if t_ops > t_bytes else "hbm"
         t_bound = max(t_ops, t_bytes)
         rows.append({
@@ -291,6 +321,9 @@ def per_pass_report(
             "vpu_bound_ms": round(t_ops * 1e3, 4),
             "binding": bound,
             "sol_fraction": round(t_bound / sec, 3),
+            "sol_fraction_measured": round(
+                max(nops / eff_peak, t_bytes) / sec, 3
+            ),
         })
     if adaptive:
         # The per-direction effective-P2 map precompute runs in XLA once
@@ -322,6 +355,7 @@ def per_pass_report(
         "pass": "TOTAL(chain)",
         "ms": round(prefix_sec[-1] * 1e3, 4),
         "vpu_peak_gops": round(vpu_peak / 1e9, 1),
+        "vpu_peak_derived_gops": round(VPU_PEAK_DERIVED / 1e9, 1),
         "adaptive_p2": adaptive,
         "note": "full cost->SGM->epilogue chain (reduction-sweep "
                 "corrected); per-pass rows are successive prefix "
@@ -341,11 +375,18 @@ def main():  # pragma: no cover - driven manually on the TPU
     ap.add_argument("--adaptive", action="store_true",
                     help="measure the adaptive-P2 variant (VERDICT r3 #4)")
     ap.add_argument("--p2-min", type=int, default=17)
+    ap.add_argument("--anchor-sweep", action="store_true",
+                    help="widen the measured-VPU-peak anchor program set "
+                         "(VERDICT r4 #3 diagnosis)")
     args = ap.parse_args()
     cfg = PRESETS[args.preset]
     if args.adaptive:
         cfg = cfg.replace(adaptive_p2=True, p2_min=args.p2_min)
-    rows = per_pass_report(cfg, iters=args.iters)
+    vpu = None
+    if args.anchor_sweep:
+        vpu = measure_vpu_peak(iters=args.iters, sweep=True)
+        print(json.dumps({"vpu_peak_gops_best": round(vpu / 1e9, 1)}))
+    rows = per_pass_report(cfg, iters=args.iters, vpu_peak=vpu)
     for r in rows:
         print(json.dumps(r))
 

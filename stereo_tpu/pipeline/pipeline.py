@@ -239,6 +239,17 @@ def _fused_view(
     )
 
 
+#: MEASURED NEGATIVE (round 5, VERDICT r4 #4 — docs/kernels.md "lr_exact
+#: re-index"): replacing the exact-LR second cost pass with the exact
+#: identity below measured 18.7 ms/frame vs 16.6 ms for the flipped-pair
+#: recompute on the chip (the per-plane shift sweep costs ~4.9 ms in XLA
+#: against the ~2.8 ms cost pass it saves, and no cheaper TPU layout op
+#: exists: a log2(D) gated-rotate butterfly needs ~28 ops/voxel PER
+#: LAYOUT vs the cost kernel's 14-21 total). The identity and its
+#: bit-identity tests are kept — flip this flag to reproduce the A/B.
+LR_EXACT_REINDEX = False
+
+
 def reindex_right_flipped(vol, cfg: StereoConfig, w: int, x_axis: int):
     """FLIPPED right-reference cost volume re-indexed from the LEFT one.
 
@@ -251,21 +262,18 @@ def reindex_right_flipped(vol, cfg: StereoConfig, w: int, x_axis: int):
     because both sides score the same (left-pixel, right-pixel)
     descriptor pair. The exact-LR second pass runs on the FLIPPED pair,
     whose volume is therefore C_Rflip(y, x', d) = C_L(y, W-1-x'+md+d, d)
-    — a horizontal flip plus D static-per-plane shifts of the volume the
-    left pass already built, replacing the second cost-kernel run
-    (~2.8 ms/frame at the tuned 2-word census, VERDICT r4 #4). Entries
-    whose left coordinate would leave the frame (x' - md - d < 0 in
-    flipped coords) take max_unary_cost — the exact invalid rule the
-    flipped-pair cost kernel applies — so the result is BIT-IDENTICAL
-    to the flipped-pair construction
+    — a horizontal flip plus D per-plane shifts of the volume the
+    left pass already built. Entries whose left coordinate would leave
+    the frame (x' - md - d < 0 in flipped coords) take max_unary_cost —
+    the exact invalid rule the flipped-pair cost kernel applies — so the
+    result is BIT-IDENTICAL to the flipped-pair construction
     (tests/ops/test_pallas_fused.py::test_reindexed_right_volume_*).
+    SLOWER than the recompute on the chip (see LR_EXACT_REINDEX).
 
     ``vol`` is a PADDED kernel-layout volume; ``x_axis`` locates the x
     dim (1 for [hp, wp, D], 0 for the transposed [wp, hp, D]); padding
     columns are refilled with max_unary_cost (masked downstream by
-    true_shape). Per-plane shifts are vmapped 1-D takes, which XLA
-    lowers to slices (the right_disparity_from_volume pattern) — no
-    [H, W, D] gathers.
+    true_shape).
     """
     d = cfg.num_disparities
     md = int(cfg.min_disparity)
@@ -301,11 +309,10 @@ def _lr_exact_fused(left, right, cfg: StereoConfig, interpret: bool):
     consistency compare, then median — each stage the Pallas twin of its
     golden counterpart, so the composition stays bit-identical.
 
-    For census/rank costs the right-view volume is NOT rebuilt from the
-    flipped pair: it re-indexes the left volume (reindex_right_flipped,
-    exact identity), saving the second cost-kernel pass; only the SGM
-    aggregation runs twice. SAD keeps the flipped-pair construction
-    (its box filter is reference-centered).
+    Both views rebuild their cost volume in descriptor space (the
+    flipped-pair construction) — measured CHEAPER on the chip than
+    re-indexing the left volume via the exact C_R = shifted-C_L identity
+    (LR_EXACT_REINDEX above); only the SGM aggregation differs per view.
     """
     cfg_l = cfg.replace(lr_check=False, median_filter=False)
     # Right view: integer winners only (subpixel/uniqueness affect only
@@ -316,7 +323,8 @@ def _lr_exact_fused(left, right, cfg: StereoConfig, interpret: bool):
     )
     h, w = left.shape
     kern, kw = _cost_kern_kw(cfg, h, w)
-    if kern is not None and cfg.cost_fn in ("census", "rank"):
+    if (LR_EXACT_REINDEX and kern is not None
+            and cfg.cost_fn in ("census", "rank")):
         from ..ops.pallas.sgm_kernel import sgm_wta_fused_pallas
 
         vol, vol_whd = kern(left, right, cfg, x_offset=0,

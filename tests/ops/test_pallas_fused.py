@@ -259,6 +259,31 @@ def test_pipeline_lr_exact_fused_matches_golden(kw):
     )
 
 
+def test_pipeline_lr_exact_reindex_matches_golden(monkeypatch):
+    """The LR_EXACT_REINDEX variant (measured negative, kept for
+    reproduction) stays bit-identical to the staged golden path."""
+    import stereo_tpu.pipeline.pipeline as pl_mod
+
+    monkeypatch.setattr(pl_mod, "LR_EXACT_REINDEX", True)
+    rng = np.random.default_rng(17)
+    h, w = 48, 144
+    left = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    right = np.roll(left, 5, axis=1)
+    cfg = StereoConfig(
+        cost_fn="census", census_window=(5, 5), num_disparities=16,
+        num_paths=8, p1=10, p2=120, subpixel=True, lr_check=True,
+        lr_exact=True, median_filter=True,
+    )
+    fast = pl_mod.compute_disparity(
+        left, right, cfg.replace(backend="pallas_interpret")
+    )
+    gold = pl_mod.compute_disparity(left, right, cfg.replace(backend="jnp"))
+    np.testing.assert_array_equal(np.array(fast.valid), np.array(gold.valid))
+    np.testing.assert_allclose(
+        np.array(fast.disp), np.array(gold.disp), atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("md", [0, 3])
 def test_reindexed_right_volume_matches_flipped_pair(md):
     """reindex_right_flipped (VERDICT r4 #4): the exact-LR second pass's
