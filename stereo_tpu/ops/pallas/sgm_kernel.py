@@ -100,6 +100,11 @@ _V_FUSED_BH = 16
 #: Lane-pack small-D volumes (G = 128/D scanlines or x per lane group);
 #: module knob so hardware sweeps can compare against the unpacked path.
 _PACK_SMALL_D = True
+#: Adaptive-P2 h-pass CP-stream experiment (VERDICT r4 #2): stream
+#: CP = C + P2_eff per horizontal direction instead of broadcasting the
+#: per-step map value inside the latency chain (see _h_kernel cp_mode).
+#: A/B'd on hardware via this knob (d >= 128 unrolled form only).
+_ADAPTIVE_CP_H = False
 
 
 def _v_block_rows(hp, wp, d, itemsize):
@@ -366,7 +371,7 @@ def _seg_renorm(l, r):
 
 def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
               ct=jnp.int32, use_roll=False, out_hwd=False, seg=None,
-              in_hwd=False):
+              in_hwd=False, cp_mode=False):
     """One horizontal direction over a [XC, BR, D] block of the TRANSPOSED
     (W, H, D) volume.
 
@@ -436,6 +441,44 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
     else:
         upd = lambda prev, p2x: _upd_lcarry(prev, p1, p2x, use_roll)
     renorm = lambda l: l
+
+    if cp_mode:
+        # Adaptive CP-stream form (VERDICT r4 #2 experiment): p2_ref is a
+        # cost-shaped block of CP = C + P2_eff for THIS direction, and
+        # the recurrence uses the exact identity
+        #   C + min(prev, m + P2, min(dn, up) + P1) - m
+        #     == min(C + min(prev, min(dn, up) + P1) - m, CP)
+        # so the per-step P2 operand is streamed data with full lane
+        # shape — no [BR, 1] -> [BR, D] broadcast relayout inside the
+        # latency chain.
+        if not out_hwd or seg or in_hwd:
+            raise NotImplementedError("cp_mode: unrolled whd form only")
+
+        def upd_cp(prev, cpx, c):
+            m = jnp.min(prev, axis=-1, keepdims=True)
+            dn = jnp.concatenate([prev[..., :1], prev[..., :-1]], axis=-1)
+            upv = jnp.concatenate([prev[..., 1:], prev[..., -1:]], axis=-1)
+            t = jnp.minimum(prev, jnp.minimum(dn, upv) + p1)
+            return jnp.minimum(c + (t - m), cpx)
+
+        carry = carry_ref[:].astype(ct)
+        slabs = [None] * xc
+        xs = range(xc - 1, -1, -1) if reverse else range(xc)
+        for x in xs:
+            gx = chunk * xc + x
+            c = cost_ref[x].astype(ct)
+            origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
+            cpx = p2_ref[x].astype(ct)
+            l = jnp.where(origin, c, upd_cp(carry, cpx, c))
+            slabs[x] = l.astype(dt)[:, None, :]
+            carry = l
+        carry_ref[:] = carry.astype(carry_ref.dtype)
+        block = jnp.concatenate(slabs, axis=1)
+        if accumulate:
+            out_ref[:] = acc_ref[:] + block
+        else:
+            out_ref[:] = block
+        return
 
     if in_hwd and not out_hwd:
         raise NotImplementedError("in_hwd requires the unrolled out_hwd form")
@@ -704,7 +747,7 @@ def sgm_aggregate_pallas(
     # leading-dim stores and transposes once in XLA between pass families.
     hwd = dk_h >= 128
 
-    def h_call(reverse, acc, cost_whd):
+    def h_call(reverse, acc, cost_whd, cp=None):
         accumulate = acc is not None
         # Input blocks are [XC, BR, D] slices of the transposed (W, H, D)
         # volume (the scan axis must be untiled); OUTPUT blocks are
@@ -734,12 +777,24 @@ def sgm_aggregate_pallas(
         ]
         args = [bounds, cost_whd]
         if adaptive:
-            in_specs.append(
-                pl.BlockSpec((xc, brk, dk_h), im_in, memory_space=pltpu.VMEM)
-                if seg_h
-                else pl.BlockSpec((xc, br), im_2d, memory_space=pltpu.VMEM)
-            )
-            args.append(p2h_r if reverse else p2h_f)
+            if cp is not None:
+                # CP-stream experiment: the map slot carries a cost-shaped
+                # CP = C + P2_eff block for this direction (_h_kernel
+                # cp_mode).
+                in_specs.append(
+                    pl.BlockSpec((xc, brk, dk_h), im_in,
+                                 memory_space=pltpu.VMEM)
+                )
+                args.append(cp)
+            else:
+                in_specs.append(
+                    pl.BlockSpec((xc, brk, dk_h), im_in,
+                                 memory_space=pltpu.VMEM)
+                    if seg_h
+                    else pl.BlockSpec((xc, br), im_2d,
+                                      memory_space=pltpu.VMEM)
+                )
+                args.append(p2h_r if reverse else p2h_f)
         if accumulate:
             in_specs.append(
                 pl.BlockSpec(out_block, im_out, memory_space=pltpu.VMEM)
@@ -749,6 +804,7 @@ def sgm_aggregate_pallas(
             _h_kernel, p1=p1, p2=p2, xc=xc,
             reverse=reverse, accumulate=accumulate, adaptive=adaptive,
             ct=ct, use_roll=use_roll, out_hwd=hwd, seg=seg_h,
+            cp_mode=cp is not None,
         )
         alias = {len(args) - 1: 0} if accumulate else {}
         return pl.pallas_call(
@@ -807,8 +863,18 @@ def sgm_aggregate_pallas(
         cost_whd = jnp.transpose(cost, (1, 0, 2))
         if seg_h:
             cost_whd = cost_whd.reshape(wp, hpk, dk)   # pack G rows/lane
-        s = h_call(False, None, cost_whd)
-        s = h_call(True, s, cost_whd)
+        cp_f = cp_r = None
+        if adaptive and _ADAPTIVE_CP_H and hwd and not seg_h:
+            # CP = C + P2_eff per direction, int16 (<= maxc + P2 < 2^15),
+            # built by one fused XLA sweep each over the whd layout.
+            cp_f = cost_whd.astype(jnp.int16) + p2h_f[
+                :, :, None
+            ].astype(jnp.int16)
+            cp_r = cost_whd.astype(jnp.int16) + p2h_r[
+                :, :, None
+            ].astype(jnp.int16)
+        s = h_call(False, None, cost_whd, cp=cp_f)
+        s = h_call(True, s, cost_whd, cp=cp_r)
         if not hwd:
             s = jnp.transpose(s, (1, 0, 2))
         if seg_h:

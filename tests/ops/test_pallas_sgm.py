@@ -117,6 +117,33 @@ def test_pallas_sgm_adaptive_p2_matches_golden(paths):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("paths", [4, 8])
+def test_pallas_sgm_adaptive_cp_stream_matches_golden(paths, monkeypatch):
+    """The CP-stream h-pass experiment (VERDICT r4 #2, _ADAPTIVE_CP_H):
+    min(C + min(prev, min(dn,up)+P1) - m, C + P2_eff) must stay
+    bit-exact vs the golden adaptive recurrence (d >= 128 unrolled
+    form)."""
+    import stereo_tpu.ops.pallas.sgm_kernel as sk
+
+    monkeypatch.setattr(sk, "_ADAPTIVE_CP_H", True)
+    rng = np.random.default_rng(paths + 60)
+    h, w, d = 16, 150, 128
+    cost = rng.integers(0, 60, size=(h, w, d)).astype(np.int32)
+    img = rng.integers(0, 255, size=(h, w)).astype(np.uint8)
+    cfg = StereoConfig(
+        num_disparities=d, num_paths=paths, p1=7, p2=100,
+        adaptive_p2=True, p2_min=17, adaptive_grad_floor=6,
+    )
+    got = np.array(
+        sk.sgm_aggregate_pallas(
+            cost.astype(np.int16), cfg, interpret=True,
+            acc_dtype=np.int16, image=img,
+        )
+    ).astype(np.int32)
+    want = np.array(sgm_aggregate(cost, cfg, image=img))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_sgm_adaptive_p2_requires_image():
     cost = np.zeros((8, 16, 8), np.int32)
     cfg = StereoConfig(num_paths=4, adaptive_p2=True)
