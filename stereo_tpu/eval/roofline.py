@@ -231,6 +231,11 @@ def per_pass_report(
     # explicitly below.
     hwd = dims["d"] >= 128
 
+    # The fused path builds per-direction CP = C + P2_eff streams for the
+    # adaptive h passes when _ADAPTIVE_CP_H (round 5); the prefixes must
+    # time the PRODUCTION form, so rebuild them from the exposed maps.
+    use_cp = stages.get("cp_f") is not None
+
     def make_prefix(n):
         def fn(l, r):
             vol, vol_whd = census_cost_volume_pallas(
@@ -238,12 +243,25 @@ def per_pass_report(
             )
             if vol_whd is None:  # small-D kernels emit one layout only
                 vol_whd = jnp.transpose(vol, (1, 0, 2))
+            cp_f = cp_r = None
+            if use_cp:
+                from ..ops.pallas.sgm_kernel import _adaptive_maps
+
+                p2h_f, p2h_r, _, _ = _adaptive_maps(
+                    l, cfg, h, w, hp, wp, jnp.float32
+                )
+                cp_f = vol_whd.astype(jnp.int16) + p2h_f[
+                    :, :, None
+                ].astype(jnp.int16)
+                cp_r = vol_whd.astype(jnp.int16) + p2h_r[
+                    :, :, None
+                ].astype(jnp.int16)
             if n == 0:
                 return vol, vol_whd
-            s = h_call(False, None, vol_whd)
+            s = h_call(False, None, vol_whd, cp=cp_f)
             if n == 1:
                 return s
-            s = h_call(True, s, vol_whd)
+            s = h_call(True, s, vol_whd, cp=cp_r)
             if n == 2:
                 return s
             if not hwd:

@@ -166,6 +166,33 @@ def test_fused_adaptive_p2_matches_golden(paths, grad_floor):
     np.testing.assert_allclose(np.array(disp), np.array(g_disp), atol=1e-5)
 
 
+def test_fused_adaptive_cp_stream_matches_golden(monkeypatch):
+    """CP-stream h passes on the FUSED path (d >= 128, VERDICT r4 #2):
+    bit-exact vs the golden adaptive pipeline."""
+    import jax.numpy as jnp
+
+    import stereo_tpu.ops.pallas.sgm_kernel as sk
+
+    monkeypatch.setattr(sk, "_ADAPTIVE_CP_H", True)
+    rng = np.random.default_rng(77)
+    h, w, d = 16, 160, 128
+    cost = rng.integers(0, 60, size=(h, w, d)).astype(np.int16)
+    img = jnp.asarray(rng.integers(0, 255, size=(h, w)).astype(np.uint8))
+    cfg = StereoConfig(
+        num_disparities=d, num_paths=8, p1=7, p2=100,
+        adaptive_p2=True, p2_min=17, adaptive_grad_floor=12,
+        subpixel=True, lr_check=True, median_filter=False,
+    )
+    disp, valid = sgm_wta_fused_pallas(cost, cfg, interpret=True, image=img)
+    s = sgm_aggregate(cost.astype(np.int32), cfg, image=img)
+    g_disp, g_ok, d_int = wta_with_aux(s, cfg)
+    g_disp, g_ok = apply_postprocess(
+        g_disp, g_ok, s, cfg.replace(median_filter=False), disp_int=d_int
+    )
+    np.testing.assert_array_equal(np.array(valid), np.array(g_ok))
+    np.testing.assert_allclose(np.array(disp), np.array(g_disp), atol=1e-5)
+
+
 @pytest.mark.parametrize("grad_floor", [0, 12])
 def test_pipeline_adaptive_p2_dispatch_matches_golden(grad_floor):
     """End-to-end adaptive-P2 config through the pallas_interpret backend
