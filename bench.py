@@ -144,8 +144,10 @@ def main() -> int:
         "achieved_gbps_est": round(achieved_gbps, 1),
         # NOT the binding bound: the per-pass roofline (eval/roofline.py,
         # docs/kernels.md) shows every pass VPU-compute-bound at 5-50x
-        # its HBM byte bound; the SGM kernels sustain 2.9-4.3 TOPS of
-        # counted ops (~>=75% of the v5e vector unit's issue rate).
+        # its HBM byte bound; against the FIXED derived VPU peak
+        # (8x128 lanes x 4 ALUs x 0.94 GHz, round-5 anchor) the fused
+        # v-up pass runs at 99% (fixed-P2) / 85% (adaptive) of compute
+        # speed-of-light.
         "hbm_fraction_819gbps": round(achieved_gbps / 819.0, 3),
         "binding_bound": "vpu (see docs/kernels.md roofline table)",
         "device": device,

@@ -44,6 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import StereoConfig
 
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * (1 << 20))
+#: The fused v-up epilogue at config-4 scale (wp=3072, D=256, bhf=8)
+#: needs 121.6 MB of scoped VMEM (round-5 whole-frame probe: every OTHER
+#: kernel compiles whole-frame; the old "helper exit code 1" ceiling
+#: resolved to this precise stack OOM). v5e VMEM is 128 MB; giving the
+#: one biggest kernel a higher cap lets whole-frame config 4 compile.
+_VMEM_PARAMS_FUSED = pltpu.CompilerParams(vmem_limit_bytes=126 * (1 << 20))
 
 #: SMEM bounds vector layout shared by every kernel in this module:
 #: (y_lo, y_hi, x_lo, x_hi, x0). [y_lo, y_hi) x [x_lo, x_hi) is the
@@ -1469,7 +1475,7 @@ def sgm_wta_fused_pallas(
                 jax.ShapeDtypeStruct((hp, sp_w), jnp.float32),
             ] if emit_qr else []),
             scratch_shapes=[carry(), carry(), carry()],
-            compiler_params=_VMEM_PARAMS,
+            compiler_params=_VMEM_PARAMS_FUSED,
             interpret=interpret,
         )(*args)
 
