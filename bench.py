@@ -242,14 +242,15 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         cfg4 = cfg4.replace(num_disparities=16)
     pair4 = make_pair(shape4, max_disp=12 if quick else 200, kind="shapes",
                       texture="cloud", seed=0)
-    # Full-height columns: no row-band halos (vertical paths exact over
-    # the whole height). Column overlap is warm-up-halo only: the LR
-    # check is stitched from per-patch right-view partials
-    # (parallel/bands.py lr_stitch, the default here), so no halo + D
-    # x-halo recompute; padded slabs stay well under the remote Mosaic
-    # helper's ~2944x256 W*D ceiling.
+    # WHOLE-FRAME since round 5: the old "W*D slabs crash the compile
+    # helper" ceiling root-caused to the fused epilogue's scoped-VMEM
+    # stack (121.6 MB), which the raised per-call cap
+    # (`_VMEM_PARAMS_FUSED` = 126 MB) accommodates. Same-session A/B:
+    # whole frame 153.3 ms vs 2-column stitched patches 159.4 ms
+    # (docs/kernels.md round-5 probe) — the stitch machinery remains for
+    # frames beyond the 126 MB stack and for the distributed tiles.
     fn4 = build_banded_pipeline(
-        cfg4, shape4, n_bands=2 if quick else 1, n_cols=1 if quick else 2
+        cfg4, shape4, n_bands=2 if quick else 1, n_cols=1
     )
     sec4 = chained_seconds_per_call(
         lambda l, r: fn4(l, r), (pair4.left, pair4.right), iters=15
@@ -273,7 +274,9 @@ def _bench_secondary(jax, out_dir, sha, quick=False):
         "device": str(jax.devices()[0]),
         "git_sha": sha,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        "note": "single-chip row+column patches (parallel/bands.py)",
+        "note": "single-chip WHOLE-FRAME (r5: fused-epilogue VMEM cap "
+                "raised; beats 2-column stitched patches 153.3 vs "
+                "159.4 ms same-session)",
     }
     with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
         f.write(json.dumps(rec4) + "\n")
