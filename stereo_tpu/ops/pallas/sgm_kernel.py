@@ -119,6 +119,19 @@ _PACK_SMALL_D = True
 #: +0.4-0.6 ms, and v_down's +0.19 (r4) shows the map plumbing is
 #: near-free where the pass is throughput-bound.
 _ADAPTIVE_CP_H = True
+#: Horizontal-pass intra-kernel ILP: split the [BR, D] row block into
+#: this many independent carry chains (rows never interact in an h
+#: scan, so the split is bit-identical by construction) so the Mosaic
+#: scheduler can interleave the dependent min/add chains of the serial
+#: x loop — the pass is latency-bound (round-3 finding 4: ~1.5 TOPS vs
+#: the 3.85 derived peak, "closing to 3 TOPS would save ~0.8 ms").
+#: Hardware sweep (round 5, KITTI 375x1242 D=128, full fused pipeline,
+#: chained timer, 3 same-session A/Bs): headline preset 7.48-7.59 ms at
+#: ilp=1 vs 7.28-7.37 at ilp=2; quality preset 9.04-9.24 vs 8.71-8.74;
+#: ilp=4 LOSES on both (7.69 / 9.13 — register pressure: 4 carries plus
+#: the unrolled slab list exceed what the scheduler can keep resident).
+#: Bit-identical on device at every ilp. 2 ships.
+_H_ILP = 2
 
 
 def _v_block_rows(hp, wp, d, itemsize):
@@ -385,7 +398,7 @@ def _seg_renorm(l, r):
 
 def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
               ct=jnp.int32, use_roll=False, out_hwd=False, seg=None,
-              in_hwd=False, cp_mode=False):
+              in_hwd=False, cp_mode=False, ilp=1):
     """One horizontal direction over a [XC, BR, D] block of the TRANSPOSED
     (W, H, D) volume.
 
@@ -456,6 +469,22 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
         upd = lambda prev, p2x: _upd_lcarry(prev, p1, p2x, use_roll)
     renorm = lambda l: l
 
+    def _rows(arr, k):
+        # k-th of the ilp independent row groups (_H_ILP): a static
+        # sublane slice, 8-aligned by the h_call gate. Rows never
+        # interact in a horizontal scan, so per-group chains are
+        # bit-identical to the single chain.
+        if ilp == 1:
+            return arr
+        rb = arr.shape[0] // ilp
+        return arr[k * rb:(k + 1) * rb]
+
+    def _assemble(slab_groups):
+        # slab_groups[k][x] is the k-th row group's [BRG, 1, D] result at
+        # step x; concatenation happens once, outside the serial chain.
+        cols = [jnp.concatenate(g, axis=1) for g in slab_groups]
+        return cols[0] if ilp == 1 else jnp.concatenate(cols, axis=0)
+
     if cp_mode:
         # Adaptive CP-stream form (VERDICT r4 #2 experiment): p2_ref is a
         # cost-shaped block of CP = C + P2_eff for THIS direction, and
@@ -475,19 +504,25 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
             t = jnp.minimum(prev, jnp.minimum(dn, upv) + p1)
             return jnp.minimum(c + (t - m), cpx)
 
-        carry = carry_ref[:].astype(ct)
-        slabs = [None] * xc
+        carries = [_rows(carry_ref[:].astype(ct), k) for k in range(ilp)]
+        slabs = [[None] * xc for _ in range(ilp)]
         xs = range(xc - 1, -1, -1) if reverse else range(xc)
         for x in xs:
             gx = chunk * xc + x
             c = cost_ref[x].astype(ct)
             origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
             cpx = p2_ref[x].astype(ct)
-            l = jnp.where(origin, c, upd_cp(carry, cpx, c))
-            slabs[x] = l.astype(dt)[:, None, :]
-            carry = l
-        carry_ref[:] = carry.astype(carry_ref.dtype)
-        block = jnp.concatenate(slabs, axis=1)
+            for k in range(ilp):
+                ck = _rows(c, k)
+                l = jnp.where(
+                    origin, ck, upd_cp(carries[k], _rows(cpx, k), ck)
+                )
+                slabs[k][x] = l.astype(dt)[:, None, :]
+                carries[k] = l
+        carry_ref[:] = (
+            carries[0] if ilp == 1 else jnp.concatenate(carries, axis=0)
+        ).astype(carry_ref.dtype)
+        block = _assemble(slabs)
         if accumulate:
             out_ref[:] = acc_ref[:] + block
         else:
@@ -507,18 +542,25 @@ def _h_kernel(*refs, p1, p2, xc, reverse, accumulate, adaptive=False,
             # always legal.
             p2t = jnp.transpose(p2_ref[:])             # [BR, XC]
             p2_at = lambda x: p2t[:, x:x + 1]
-        carry = carry_ref[:].astype(ct)
-        slabs = [None] * xc
+        carries = [_rows(carry_ref[:].astype(ct), k) for k in range(ilp)]
+        slabs = [[None] * xc for _ in range(ilp)]
         xs = range(xc - 1, -1, -1) if reverse else range(xc)
         for x in xs:
             gx = chunk * xc + x
             c = (cost_ref[:, x, :] if in_hwd else cost_ref[x]).astype(ct)
             origin = (gx >= x_hi - 1) if reverse else (gx <= x_lo)
-            l = jnp.where(origin, c, c + upd(carry, p2_at(x)))
-            slabs[x] = l.astype(dt)[:, None, :]        # [BR, 1, D]
-            carry = renorm(l)
-        carry_ref[:] = carry.astype(carry_ref.dtype)
-        block = jnp.concatenate(slabs, axis=1)         # [BR, XC, D]
+            for k in range(ilp):
+                ck = _rows(c, k)
+                p2x = p2_at(x)
+                if adaptive and ilp > 1:
+                    p2x = _rows(p2x, k)
+                l = jnp.where(origin, ck, ck + upd(carries[k], p2x))
+                slabs[k][x] = l.astype(dt)[:, None, :]  # [BRG, 1, D]
+                carries[k] = renorm(l)
+        carry_ref[:] = (
+            carries[0] if ilp == 1 else jnp.concatenate(carries, axis=0)
+        ).astype(carry_ref.dtype)
+        block = _assemble(slabs)                       # [BR, XC, D]
         if accumulate:
             out_ref[:] = acc_ref[:] + block
         else:
@@ -814,11 +856,16 @@ def sgm_aggregate_pallas(
                 pl.BlockSpec(out_block, im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
+        # _H_ILP row-group split: unrolled whd form only, each group an
+        # 8-aligned sublane slice (seg packs the whole frame into one
+        # block and is already relayout-free — left at one chain).
+        ilp = _H_ILP if (hwd and not seg_h and _H_ILP > 1
+                         and brk % (8 * _H_ILP) == 0) else 1
         body = functools.partial(
             _h_kernel, p1=p1, p2=p2, xc=xc,
             reverse=reverse, accumulate=accumulate, adaptive=adaptive,
             ct=ct, use_roll=use_roll, out_hwd=hwd, seg=seg_h,
-            cp_mode=cp is not None,
+            cp_mode=cp is not None, ilp=ilp,
         )
         alias = {len(args) - 1: 0} if accumulate else {}
         return pl.pallas_call(
@@ -1376,11 +1423,14 @@ def sgm_wta_fused_pallas(
                 pl.BlockSpec(out_block, im_out, memory_space=pltpu.VMEM)
             )
             args.append(acc)
+        # _H_ILP row-group split (see sgm_aggregate_pallas.h_call).
+        ilp = _H_ILP if (hwd and _H_ILP > 1
+                         and br % (8 * _H_ILP) == 0) else 1
         body = functools.partial(
             _h_kernel, p1=p1, p2=p2, xc=xc,
             reverse=reverse, accumulate=accumulate, adaptive=adaptive,
             ct=ct, use_roll=use_roll, out_hwd=hwd, in_hwd=h_from_hwd,
-            cp_mode=cp is not None,
+            cp_mode=cp is not None, ilp=ilp,
         )
         alias = {len(args) - 1: 0} if accumulate else {}
         return pl.pallas_call(

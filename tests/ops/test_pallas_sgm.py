@@ -272,3 +272,34 @@ def test_fused_block_rows_respects_budget_and_divisibility():
         assert bhf == 1 or bhf % 8 == 0
         if bhf > 8:
             assert bhf * wp * d * max(isz, 2) <= (6 << 20)
+
+
+def test_pallas_sgm_h_ilp_split_matches_golden(monkeypatch):
+    """_H_ILP row-group split (round 5): the horizontal passes' row block
+    is cut into independent carry chains so the scheduler can interleave
+    the latency-bound serial x chains. Rows never interact in an h scan,
+    so every ilp must be BIT-identical to the golden recurrence — fixed
+    P2, adaptive CP-stream, and adaptive map-broadcast forms alike."""
+    import stereo_tpu.ops.pallas.sgm_kernel as sk
+
+    rng = np.random.default_rng(7)
+    h, w, d = 16, 80, 128  # d >= 128: the unrolled whd form ILP targets
+    cost = rng.integers(0, 60, size=(h, w, d)).astype(np.int32)
+    img = rng.integers(0, 255, size=(h, w)).astype(np.uint8)
+    fixed = StereoConfig(num_disparities=d, num_paths=8, p1=7, p2=100)
+    adap = fixed.replace(adaptive_p2=True, p2_min=17, adaptive_grad_floor=6)
+    want_fixed = np.array(sgm_aggregate(cost, fixed))
+    want_adap = np.array(sgm_aggregate(cost, adap, image=img))
+
+    monkeypatch.setattr(sk, "_H_ILP", 2)
+    got = np.array(sk.sgm_aggregate_pallas(
+        cost.astype(np.int16), fixed, interpret=True, acc_dtype=np.int16,
+    )).astype(np.int32)
+    np.testing.assert_array_equal(got, want_fixed)
+    for cp_h in (True, False):  # CP-stream and map-broadcast forms
+        monkeypatch.setattr(sk, "_ADAPTIVE_CP_H", cp_h)
+        got = np.array(sk.sgm_aggregate_pallas(
+            cost.astype(np.int16), adap, interpret=True,
+            acc_dtype=np.int16, image=img,
+        )).astype(np.int32)
+        np.testing.assert_array_equal(got, want_adap)
